@@ -1,0 +1,252 @@
+"""Document deduplication suite for large-scale training-data pipelines.
+
+Five strategies, all over a generic (id, text) document table:
+
+  * exact          — hash-groupBy on a content digest
+  * minhash_lsh    — shingle -> minhash -> band -> bucket self-join
+                     (shares the native MinHash machinery with entity
+                     linking, operators/linking.py)
+  * simhash        — 64-bit sign-of-weighted-bit-sums fingerprint,
+                     near-dup = small hamming distance within buckets
+  * ngram_jaccard  — word n-gram shingle Jaccard on blocked pairs
+  * embedding near-dup — cosine >= threshold on an embedding column
+                     (operators/similarity.py provides the kernels)
+
+Everything is native column expressions; the only shuffles are the
+groupBys/joins on digest / band / block keys, each of which is uniformly
+distributed by construction (hash digests) or explicitly capped
+(LSH blocks), so the plans survive a 100x scale-up unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from corporate_knowledge_extractor_spark.config import LinkingConfig
+from corporate_knowledge_extractor_spark.operators.linking import (
+    minhash_signature,
+    shingle_col,
+    shingle_hashes,
+)
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """Canonical form for dedup: casefold + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition to full parallelism before an expensive per-row
+    stage. A small parquet input arrives as ONE split (maxPartitionBytes),
+    which serializes the whole signature computation onto a single core —
+    measured 40s single-task vs ~2s spread at sf0.1. One slim shuffle buys
+    cluster-wide parallelism; on a real corpus with many files this is a
+    no-op cost."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, id_col)
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup clusters: md5 digest groupBy; returns clusters of size
+    >= 2 with their member ids (sorted array for determinism)."""
+    return (
+        docs.withColumn("digest", F.md5(normalize_text(F.col(text_col))))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_sort(F.collect_list(F.col(id_col))).alias("members"),
+        )
+        .where(F.col("cluster_size") >= 2)
+    )
+
+
+def keep_first_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Dedup keeping the lowest-id representative per digest (first-seen-wins,
+    the reference's qa-dedup semantics post_processor.py:204-219)."""
+    w = W.partitionBy("digest").orderBy(id_col)
+    return (
+        docs.withColumn("digest", F.md5(normalize_text(F.col(text_col))))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "digest")
+    )
+
+
+def word_shingles(col: F.Column, n: int) -> F.Column:
+    """Distinct word n-gram shingles of a text column (native)."""
+    toks = F.split(normalize_text(col), " ")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked near-dup pair detection: self-join within cheap blocks
+    (never unblocked O(n^2)), word-n-gram Jaccard filter. At scale the
+    block key must bound block sizes; callers with Zipfian blocks should
+    pre-salt or use minhash_lsh_pairs instead."""
+    base = docs.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    )
+    left = base.select(*block_cols, F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = base.select(*block_cols, F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        left.join(right, list(block_cols))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: LinkingConfig = LinkingConfig(num_hashes=64, num_bands=16, shingle_size=5),
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs over character shingles of the
+    normalized text — the scale path: candidate generation is linear in
+    corpus size (band explode + bucket groupJoin), exact Jaccard only on
+    collided candidates."""
+    from corporate_knowledge_extractor_spark.operators.linking import (
+        candidate_id_pairs,
+        lsh_band_keys,
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    base = spread(
+        docs.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")),
+        "id",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = lsh_band_keys(
+        base, "id", shingle_col(F.col("t"), cfg.shingle_size), cfg
+    )
+    # pairs feeds three downstream scans (cand_ids + both sides of the
+    # verify join); persist the slim (id_a, id_b) table once
+    pairs = candidate_id_pairs(banded, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    # shingle each *distinct candidate document* exactly once, then join —
+    # candidates are orders of magnitude fewer than pair occurrences
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_tbl = base.join(cand_ids, "id", "left_semi").select(
+        "id", shingle_col(F.col("t"), cfg.shingle_size).alias("sh")
+    )
+    a = sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _simhash_from_hashes():
+    """Vectorized Arrow UDF: array<long> shingle hashes -> 64-bit SimHash.
+
+    The per-bit majority vote is 64 x |shingles| scalar ops per row; as
+    native higher-order lambdas that path is *interpreted* (Spark does not
+    codegen transform/aggregate lambdas) and measured ~50x slower than
+    this numpy bit-unpack — the documented pandas-UDF exception to the
+    builtins-first rule (SURVEY.md §2.9: batch shape, no per-row Python
+    semantics; the hashing itself stays JVM-side in xxhash64)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's hint-based signature inference rejects
+    @F.pandas_udf(LongType())
+    def simhash_udf(hash_arrays):
+        out = np.zeros(len(hash_arrays), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(hash_arrays):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # bit matrix (n_shingles x 64) -> per-bit set counts
+            bits = (h[:, None] >> shifts) & np.uint64(1)
+            ones = bits.sum(axis=0)
+            majority = (2 * ones >= len(h)).astype(np.uint64)
+            out[i] = np.bitwise_or.reduce(majority << shifts)
+        return pd.Series(out.astype(np.int64))
+
+    return simhash_udf
+
+
+def simhash64(col: F.Column, n: int = 2) -> F.Column:
+    """64-bit SimHash of word n-grams: per-bit majority vote over shingle
+    hashes (JVM xxhash64 -> Arrow batch -> numpy bit counts)."""
+    hashes = F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
+    return _simhash_from_hashes()(hashes)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
+    chunks (two of four chunks must match for hamming <= ... pigeonhole:
+    any pair within hamming 3 shares at least one of 4 chunks; we block
+    on each chunk and verify exactly)."""
+    d = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id")
+    d = d.select("id", simhash64(F.col("t")).alias("sh"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk_idx"),
+                F.shiftright(F.col("sh"), j * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for j in range(4)
+        ]
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    banded = (
+        d.withColumn("c", F.explode(chunks))
+        .select(F.col("c.chunk_idx"), F.col("c.chunk"), "id", "sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # hot-chunk cap: a cluster of identical documents shares all four
+    # chunks; unbounded blocks would go quadratic (same skew control as
+    # the MinHash path)
+    sizes = banded.groupBy("chunk_idx", "chunk").agg(F.count(F.lit(1)).alias("_n"))
+    small = banded.join(
+        sizes.where(F.col("_n") <= 500), ["chunk_idx", "chunk"], "inner"
+    ).select("chunk_idx", "chunk", "id", "sh")
+    left = small.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = small.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

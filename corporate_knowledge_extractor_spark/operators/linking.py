@@ -1,0 +1,208 @@
+"""Entity linking: MinHash-LSH blocking + similarity scoring.
+
+Reference analogue: the title-normalize group-merge
+(/root/reference/src/output/post_processor.py:102-175) is a degenerate
+exact-key entity resolution. At 10^12-file scale exact keys don't cluster
+alias variants (`get_user_data` / `getUserData` / `get_user_data_v2`), so
+per BASELINE.json this generalizes to MinHash-LSH blocking + a Jaccard
+scorer over candidate pairs.
+
+Everything here is native column expressions — shingles via
+`transform(sequence(...))`, per-permutation min-hash via
+`array_min(transform(...))`, band keys via `xxhash64` — no Python at all.
+The O(n^2) similarity join becomes O(sum of block^2) with blocks bounded
+by `max_block_size` (Zipfian hot-block skew control; precedent:
+the reference's max_total row cap, src/frames/extractor.py:152-154).
+
+ANSI-safe arithmetic: hashes are reduced mod a 31-bit prime before the
+affine permutation so products stay far below 2^63 (Spark 4 runs with
+spark.sql.ansi.enabled=true, where overflow *throws*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from corporate_knowledge_extractor_spark.config import LinkingConfig
+from corporate_knowledge_extractor_spark.functions import rules
+
+_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine permutation constants (seeded, not random —
+    BASELINE.json forbids wall-clock/nondeterminism in the extractor)."""
+    params = []
+    a, b = 1_103_515_245, 12_345
+    x = 42
+    for _ in range(num_hashes):
+        x = (a * x + b) % _P
+        a_i = (x % (_P - 1)) + 1
+        x = (a * x + b) % _P
+        b_i = x % _P
+        params.append((a_i, b_i))
+    return params
+
+
+def extract_entities(triples: DataFrame) -> DataFrame:
+    """Distinct identifier surfaces participating in the graph:
+    defined functions, callees, and imported symbols, plus the function
+    part of `doc::fn` call subjects. Output: (surface, norm, freq)."""
+    objs = triples.where(
+        F.col("pred").isin("defines", "calls", "imports_symbol")
+    ).select(F.col("obj").alias("surface"))
+    subj_fns = triples.where(F.col("pred") == "calls").select(
+        F.element_at(F.split(F.col("subj"), "::"), 2).alias("surface")
+    )
+    norm = F.regexp_replace(F.lower(F.col("surface")), r"[_\-]", "")
+    return (
+        objs.unionByName(subj_fns)
+        .groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("norm", norm)
+        .withColumn("entity_id", F.xxhash64(F.col("surface")))
+    )
+
+
+def shingle_col(col: F.Column, k: int) -> F.Column:
+    """Distinct character k-shingles of a string, as an array column."""
+    # rpad truncates longer strings, so pad conditionally: strings shorter
+    # than k get exactly one '#'-padded shingle
+    padded = F.when(F.length(col) < k, F.rpad(col, k, "#")).otherwise(col)
+    n = F.greatest(F.length(padded) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: padded.substr(i, F.lit(k)))
+    )
+
+
+def minhash_signature(shingle_hashes: F.Column, cfg: LinkingConfig) -> F.Column:
+    """array<long> of length num_hashes: min over shingles of an affine
+    permutation of the pre-hashed shingles, all JVM-side.
+
+    Takes the *hash array* (not the raw shingles) so callers materialize
+    the per-shingle xxhash64 exactly once as a column — with the hashes
+    inlined, whole-stage codegen re-evaluated the hashing inside every one
+    of the 64 array_min branches (measured 64x overhead at sf0.1)."""
+    sig = [
+        F.array_min(
+            F.transform(
+                shingle_hashes, lambda h: (h * F.lit(a_i) + F.lit(b_i)) % F.lit(_P)
+            )
+        )
+        for a_i, b_i in _perm_params(cfg.num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def shingle_hashes(shingles: F.Column) -> F.Column:
+    """Per-shingle 31-bit base hashes (ANSI-overflow-safe domain)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+
+def lsh_band_keys(
+    items: DataFrame,
+    id_col: str,
+    shingles: F.Column,
+    cfg: LinkingConfig = LinkingConfig(),
+) -> DataFrame:
+    """(band_key, id) — one row per band per item, *ids only*.
+
+    Payload columns (shingle arrays, surfaces) are deliberately NOT
+    carried: the band explode amplifies rows num_bands-fold and the
+    self-join doubles them again; shuffling a few-hundred-element array
+    through that path dominated the stage wall-clock (measured ~4x at
+    sf0.1). Candidates are re-joined to the slim base table afterwards.
+    """
+    rows_per_band = cfg.num_hashes // cfg.num_bands
+    df = (
+        items.withColumn("_sh", shingles)
+        .withColumn("_h", shingle_hashes(F.col("_sh")))
+        .withColumn("_sig", minhash_signature(F.col("_h"), cfg))
+    )
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(j), F.slice(F.col("_sig"), j * rows_per_band + 1, rows_per_band)
+            )
+            for j in range(cfg.num_bands)
+        ]
+    )
+    return df.withColumn("band_key", F.explode(bands)).select(
+        "band_key", F.col(id_col).alias("id")
+    )
+
+
+def candidate_id_pairs(banded: DataFrame, cfg: LinkingConfig = LinkingConfig()) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from band collisions, with
+    hot-block capping.
+
+    Blocks larger than `max_block_size` are dropped (ubiquitous tokens —
+    the Zipf head — would otherwise quadratically dominate; SURVEY.md §7
+    skew risk; precedent: the reference's max_total cap,
+    extractor.py:152-154). Block sizes come from a groupBy (map-side
+    partial agg), not a window — no sort needed. Post-cap the band_key
+    join is uniformly bounded, so no reducer can be hot.
+    """
+    # banded is scanned twice (sizes + join); persist the slim (band_key,
+    # id) projection so the MinHash signature computation runs exactly once
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    small = banded.join(
+        sizes.where(F.col("_bsz") <= cfg.max_block_size), "band_key", "inner"
+    ).select("band_key", "id")
+    left = small.select("band_key", F.col("id").alias("id_a"))
+    right = small.select("band_key", F.col("id").alias("id_b"))
+    return (
+        left.join(right, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _attach(pairs: DataFrame, base: DataFrame, side: str, cols: dict[str, str]) -> DataFrame:
+    sel = base.select(
+        F.col("entity_id").alias(f"id_{side}"),
+        *[F.col(src).alias(f"{dst}_{side}") for src, dst in cols.items()],
+    )
+    return pairs.join(sel, f"id_{side}")
+
+
+def score_pairs(
+    pairs: DataFrame, entities: DataFrame, cfg: LinkingConfig = LinkingConfig()
+) -> DataFrame:
+    """Exact Jaccard on shingle sets (the reference's word-overlap
+    similarity, src/frames/extractor.py:356-367, as array_intersect /
+    array_union) + threshold filter. Shingles are joined in from the slim
+    entity table only for surviving candidates."""
+    base = entities.withColumn("_shingles", shingle_col(F.col("norm"), cfg.shingle_size))
+    pairs = _attach(pairs, base, "a", {"norm": "norm", "_shingles": "sh"})
+    pairs = _attach(pairs, base, "b", {"norm": "norm", "_shingles": "sh"})
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("similarity", jac)
+        .where(
+            (F.col("similarity") >= cfg.similarity_threshold)
+            | (F.col("norm_a") == F.col("norm_b"))
+        )
+        .select("id_a", "id_b", "similarity")
+    )
+
+
+def link_entities(triples: DataFrame, cfg: LinkingConfig = LinkingConfig()):
+    """Full linking stage: triples -> (entities, scored alias pairs)."""
+    entities = extract_entities(triples)
+    pairs = score_pairs(entity_candidate_pairs(entities, cfg), entities, cfg)
+    return entities, pairs
+
+
+def entity_candidate_pairs(
+    entities: DataFrame, cfg: LinkingConfig = LinkingConfig()
+) -> DataFrame:
+    banded = lsh_band_keys(
+        entities, "entity_id", shingle_col(F.col("norm"), cfg.shingle_size), cfg
+    )
+    return candidate_id_pairs(banded, cfg)

@@ -1,0 +1,112 @@
+"""Candidate mention detection: blocked lines -> typed mention rows.
+
+Reference analogue: frame extraction with sampling, change detection,
+rate caps and junk filtering (/root/reference/src/frames/extractor.py:29-201),
+then OCR text (+text, src/ocr/reader.py:22-40) and tagging (+tags,
+src/frames/tagger.py:10-54). For source code the detector is a bank of
+regexes compiled into native `regexp_extract` columns — pure JVM
+whole-stage codegen, no Python in the hot path.
+
+Output schema (FIXTURES.md §2 `mentions`):
+  (repo, path, commit, block_id, line_no, surface, mention_type,
+   tags array<string>, orig_idx)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from corporate_knowledge_extractor_spark.config import MentionConfig
+from corporate_knowledge_extractor_spark.functions import rules
+from corporate_knowledge_extractor_spark.operators.segment import DOC_KEY
+
+
+def _one(df: DataFrame, pattern: str, group: int, mtype: str) -> DataFrame:
+    m = F.regexp_extract(F.col("line"), pattern, group)
+    return (
+        df.withColumn("surface", m)
+        .where(F.col("surface") != "")
+        .withColumn("mention_type", F.lit(mtype))
+    )
+
+
+def detect_mentions(blocked_lines: DataFrame) -> DataFrame:
+    """Union of per-rule extracts; one scan feeds all branches.
+
+    The `from X import Y` line yields two mentions (module + symbol),
+    mirroring the reference's UDTF-style 1-row->N-rows transcription shape
+    (SURVEY.md §2.9). Deterministic within-line ordering comes from the
+    fixed MENTION_TYPE_ORDER (first-seen-wins parity, SURVEY.md §7 risk).
+    """
+    base = blocked_lines.select(*DOC_KEY, "block_id", "line_no", "line")
+    parts = [
+        _one(base, rules.RE_IMPORT, 1, "import"),
+        _one(base, rules.RE_FROM_IMPORT, 1, "import"),
+        _one(base, rules.RE_FROM_IMPORT, 2, "import_symbol"),
+        _one(base, rules.RE_DEF, 1, "function_def"),
+        _one(base, rules.RE_CALL, 1, "call"),
+        _one(base, rules.RE_PERSON_COMMENT, 1, "person"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("line")
+
+
+def tag_mentions(mentions: DataFrame) -> DataFrame:
+    """Mention typing/tagging — the reference's Gemini tag stage
+    (src/frames/tagger.py:33-53) replaced by a deterministic rule
+    classifier, expressed as a single array expression."""
+    return mentions.withColumn(
+        "tags",
+        F.filter(
+            F.array(
+                F.lit("code"),
+                F.col("mention_type"),
+                F.when(F.col("surface").endswith("_v2"), F.lit("versioned")),
+                F.when(F.col("surface").contains("."), F.lit("dotted")),
+            ),
+            lambda t: t.isNotNull(),
+        ),
+    )
+
+
+def cap_mentions(mentions: DataFrame, cfg: MentionConfig = MentionConfig()) -> DataFrame:
+    """Rate caps: at most `max_per_block` mentions per block and
+    `max_total` per document — the reference's max_per_minute / max_total
+    frame caps (extractor.py:131-154). Doubles as the skew bound: a
+    pathological document cannot explode downstream stages.
+
+    Ordering inside a block is (line_no, type_order) — deterministic."""
+    type_order = F.coalesce(
+        *[
+            F.when(F.col("mention_type") == t, F.lit(i))
+            for t, i in rules.MENTION_TYPE_ORDER.items()
+        ]
+    )
+    m = mentions.withColumn("_torder", type_order)
+    w_block = W.partitionBy(*DOC_KEY, "block_id").orderBy("line_no", "_torder")
+    w_doc = W.partitionBy(*DOC_KEY).orderBy("line_no", "_torder")
+    return (
+        m.withColumn("_rb", F.row_number().over(w_block))
+        .where(F.col("_rb") <= cfg.max_per_block)
+        .withColumn("orig_idx", F.row_number().over(w_doc))
+        .where(F.col("orig_idx") <= cfg.max_total)
+        .drop("_rb", "_torder")
+    )
+
+
+def junk_block_filter(blocked_lines: DataFrame) -> DataFrame:
+    """Drop whole blocks containing junk markers *before* any downstream
+    work — the reference filters junk frames before OCR/LLM precisely to
+    cut expensive-stage input (extractor.py:369-396; ordering rationale
+    SURVEY.md §4). Implemented as a windowed any() so it needs no join."""
+    pats = F.array(*[F.lit(p) for p in rules.JUNK_BLOCK_PATTERNS])
+    is_junk_line = F.exists(pats, lambda p: F.contains(F.lower(F.col("line")), p))
+    w = W.partitionBy(*DOC_KEY, "block_id")
+    return (
+        blocked_lines.withColumn("_junk", F.max(is_junk_line.cast("int")).over(w))
+        .where(F.col("_junk") == 0)
+        .drop("_junk")
+    )

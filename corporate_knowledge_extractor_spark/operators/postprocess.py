@@ -1,0 +1,85 @@
+"""Post-processing: dedup, validation, categorization of raw triples.
+
+Reference: /root/reference/src/output/post_processor.py:33-71 — clean ->
+junk filter -> title-merge dedup -> categorize -> qa semi-join -> qa dedup.
+The junk filter runs upstream on blocks (operators.mentions.junk_block_filter,
+mirroring the reference's filter-before-expensive-stage ordering); the
+remaining steps run here on the triples table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from corporate_knowledge_extractor_spark.functions import rules
+from corporate_knowledge_extractor_spark.operators.segment import DOC_KEY
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """A3 normalized dedup with *first-seen-wins* tie-breaking
+    (post_processor.py:204-219): normalize (lower + collapse whitespace +
+    strip), keep the earliest original row per key. `dropDuplicates` alone
+    would be nondeterministic; the explicit `row_number` over the carried
+    original order reproduces Python list order exactly (SURVEY.md §7)."""
+    norm = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+    w = W.partitionBy(*DOC_KEY, "_k_subj", "_k_pred", "_k_obj").orderBy("line_no", "frame_id")
+    return (
+        triples.withColumn("_k_subj", norm(F.col("subj")))
+        .withColumn("_k_pred", norm(F.col("pred")))
+        .withColumn("_k_obj", norm(F.col("obj")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_k_subj", "_k_pred", "_k_obj", "_rn")
+    )
+
+
+def validate_calls(triples: DataFrame) -> DataFrame:
+    """J3 semi-join validation: keep `calls` edges only when the callee is
+    defined or imported as a symbol *somewhere in the corpus* — the
+    reference keeps qa_pairs only when their frame_id survived filtering
+    (post_processor.py:62-63). The known-surfaces side is a distinct
+    projection, orders of magnitude smaller than the triples side, so
+    Catalyst/AQE takes the broadcast path for the semi-join."""
+    known = (
+        triples.where(F.col("pred").isin("defines", "imports_symbol"))
+        .select(F.col("obj").alias("_known"))
+        .distinct()
+    )
+    calls = triples.where(F.col("pred") == "calls").join(
+        F.broadcast(known), F.col("obj") == F.col("_known"), "left_semi"
+    )
+    return triples.where(F.col("pred") != "calls").unionByName(calls)
+
+
+def categorize(triples: DataFrame) -> DataFrame:
+    """A5 keyword-count argmax (post_processor.py:178-201): score each
+    category by substring-keyword hits on the object surface; strict-
+    improvement scan order means ties go to the earliest category and a
+    zero score stays "general". Expressed as array_max over
+    (score, -order, name) structs — one expression, no join, no UDF."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.filter(
+                        F.array(*[F.lit(k) for k in kws]),
+                        lambda kw: F.contains(F.col("obj"), kw),
+                    )
+                ).alias("score"),
+                F.lit(-i).alias("neg_order"),
+                F.lit(cat).alias("name"),
+            )
+            for i, (cat, kws) in enumerate(rules.CATEGORY_KEYWORDS)
+        ]
+    )
+    best = F.array_max(scored)
+    return triples.withColumn(
+        "category",
+        F.when(best["score"] > 0, best["name"]).otherwise(F.lit(rules.DEFAULT_CATEGORY)),
+    )
+
+
+def post_process(triples: DataFrame) -> DataFrame:
+    """Full chain in reference order (post_processor.py:33-71)."""
+    return categorize(validate_calls(dedup_triples(triples)))

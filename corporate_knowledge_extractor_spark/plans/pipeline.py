@@ -1,0 +1,293 @@
+"""The staged KG-construction pipeline: docs -> ... -> nodes + edges.
+
+Stage layout mirrors the reference's process_file() lifecycle
+(/root/reference/scripts/run.py:106-199; trace in SURVEY.md §3.1), but as
+a checkpointed DAG of table writes instead of an in-memory list relay:
+
+  docs -> blocks -> mentions -> triples -> (entities, links) ->
+  components -> nodes + edges     (+ lineage and metrics tables)
+
+north_rule contracts implemented here:
+  * resumable from per-stage checkpoints — each stage writes parquet with
+    a `_SUCCESS` marker; a re-run reuses any stage whose output exists
+    (kill/resume covered by tests/test_resume.py);
+  * per-partition lineage — (run_id, stage, partition_id, output_rows,
+    wall_ms) appended per stage, plus per-stage metrics rows (the Spark
+    form of the reference's metadata.json, src/output/generator.py:49-55);
+  * explicit partitioning — every per-document stage shares one hash
+    partitioning on the doc key; linking repartitions by LSH band key;
+    CC rounds are equi-joins under AQE skew handling.
+
+In the sandbox "Iceberg table" materializes as parquet directories behind
+the same writer interface (Iceberg jars are not in the image; the writer
+gates on availability — sources/sinks.py).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corporate_knowledge_extractor_spark.config import DEFAULT_CONFIG, EngineConfig
+from corporate_knowledge_extractor_spark.corpus import generate_corpus
+from corporate_knowledge_extractor_spark.operators import canonicalize as cc
+from corporate_knowledge_extractor_spark.operators import linking
+from corporate_knowledge_extractor_spark.operators.mentions import (
+    cap_mentions,
+    detect_mentions,
+    junk_block_filter,
+    tag_mentions,
+)
+from corporate_knowledge_extractor_spark.operators.postprocess import post_process
+from corporate_knowledge_extractor_spark.operators.redact import redact_columns
+from corporate_knowledge_extractor_spark.operators.segment import assign_blocks, split_lines
+from corporate_knowledge_extractor_spark.operators.synthesize import synthesize_triples
+from corporate_knowledge_extractor_spark.sources.sinks import table_exists, read_table, write_table
+
+
+def extract_triples(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
+                    persist: bool = True) -> DataFrame:
+    """The extraction slice (docs -> triples) as one lazy chain.
+
+    For callers that don't checkpoint stage tables (entry smoke, bench,
+    the kg_triples query) the fan-out points are persisted explicitly:
+    `detect_mentions` unions six regex branches over the blocked lines and
+    `synthesize_triples`/`post_process` re-scan the mention table several
+    times — without persistence the whole upstream chain (including corpus
+    generation) re-executes per branch (measured 6-10x at sf0.1).
+    The staged Pipeline below gets the same effect from its parquet
+    checkpoints instead.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    blocked = junk_block_filter(assign_blocks(split_lines(docs)))
+    if persist:
+        blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+    mentions = redact_columns(
+        tag_mentions(cap_mentions(detect_mentions(blocked), cfg.mentions)),
+        ["surface"],
+        cfg.redaction,
+    )
+    if persist:
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+    return post_process(synthesize_triples(mentions))
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    stage_seconds: dict[str, float] = field(default_factory=dict)
+    reused_stages: list[str] = field(default_factory=list)
+
+
+class Pipeline:
+    """Orchestrates stage execution with checkpoint/resume + lineage."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        run_id: str | None = None,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir.rstrip("/")
+        self.cfg = cfg
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+
+    # -- bookkeeping ------------------------------------------------------
+
+    def _record_lineage(self, stage: str, df: DataFrame, wall_ms: float) -> None:
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("output_rows"))
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("wall_ms", F.lit(float(wall_ms)))
+            .select("run_id", "stage", "partition_id", "output_rows", "wall_ms")
+        )
+        write_table(per_part, f"{self.base_dir}/lineage", mode="append")
+
+    def record_metric(self, stage: str, metric: str, value: float) -> None:
+        row = self.spark.createDataFrame(
+            [(self.run_id, stage, metric, float(value))],
+            "run_id string, stage string, metric string, value double",
+        )
+        write_table(row, f"{self.base_dir}/metrics", mode="append")
+
+    def _stage(self, name: str, build, result: PipelineResult, resume: bool) -> DataFrame:
+        path = f"{self.base_dir}/tables/{name}"
+        if resume and table_exists(self.spark, path):
+            result.reused_stages.append(name)
+            df = read_table(self.spark, path)
+            result.tables[name] = df
+            return df
+        t0 = time.time()
+        df = build()
+        write_table(df, path, mode="overwrite")
+        wall_ms = (time.time() - t0) * 1000
+        out = read_table(self.spark, path)  # read back: downstream plans scan parquet
+        result.stage_seconds[name] = wall_ms / 1000
+        self._record_lineage(name, out, wall_ms)
+        self.record_metric(name, "wall_ms", wall_ms)
+        result.tables[name] = out
+        return out
+
+    # -- the pipeline -----------------------------------------------------
+
+    def run(
+        self,
+        docs: DataFrame | None = None,
+        sf: float = 0.001,
+        resume: bool = True,
+        stop_after: str | None = None,
+    ) -> PipelineResult:
+        result = PipelineResult(run_id=self.run_id)
+        order = [
+            "docs", "blocks", "mentions", "triples",
+            "entities", "links", "components", "nodes", "edges",
+        ]
+
+        def done(stage: str) -> bool:
+            return stop_after is not None and order.index(stage) >= order.index(stop_after)
+
+        docs_df = self._stage(
+            "docs",
+            lambda: (docs if docs is not None else generate_corpus(self.spark, sf=sf)),
+            result,
+            resume,
+        )
+        if done("docs"):
+            return result
+
+        blocks = self._stage(
+            "blocks",
+            lambda: junk_block_filter(assign_blocks(split_lines(docs_df))),
+            result,
+            resume,
+        )
+        if done("blocks"):
+            return result
+
+        mentions = self._stage(
+            "mentions",
+            lambda: redact_columns(
+                tag_mentions(cap_mentions(detect_mentions(blocks), self.cfg.mentions)),
+                ["surface"],
+                self.cfg.redaction,
+            ),
+            result,
+            resume,
+        )
+        if done("mentions"):
+            return result
+
+        triples = self._stage(
+            "triples",
+            lambda: post_process(synthesize_triples(mentions)),
+            result,
+            resume,
+        )
+        if done("triples"):
+            return result
+
+        entities = self._stage(
+            "entities", lambda: linking.extract_entities(triples), result, resume
+        )
+        if done("entities"):
+            return result
+
+        links = self._stage(
+            "links",
+            lambda: linking.score_pairs(
+                linking.entity_candidate_pairs(entities, self.cfg.linking),
+                entities,
+                self.cfg.linking,
+            ),
+            result,
+            resume,
+        )
+        if done("links"):
+            return result
+
+        components = self._stage(
+            "components",
+            lambda: cc.connected_components(
+                entities,
+                links,
+                self.cfg.canonicalize,
+                on_iteration=lambda i, changed: self.record_metric(
+                    "components", f"cc_changed_iter_{i}", changed
+                ),
+            ),
+            result,
+            resume,
+        )
+        if done("components"):
+            return result
+
+        nodes = self._stage(
+            "nodes", lambda: cc.build_nodes(entities, components), result, resume
+        )
+        if done("nodes"):
+            return result
+
+        def build_edges() -> DataFrame:
+            cmap = cc.canonical_map(entities, components)
+            linked_preds = ("defines", "calls", "imports_symbol")
+            t_linked = triples.where(F.col("pred").isin(*linked_preds)).join(
+                F.broadcast(cmap), triples.obj == cmap.surface, "left"
+            )
+            t_other = triples.where(~F.col("pred").isin(*linked_preds))
+            edges_linked = t_linked.select(
+                F.xxhash64("subj").alias("src"),
+                F.coalesce("canonical_id", F.xxhash64("obj")).alias("dst"),
+                "pred",
+                F.col("subj").alias("src_name"),
+                F.coalesce("canonical", F.col("obj")).alias("dst_name"),
+                "frame_id",
+                "category",
+                "repo", "path", "commit",
+            )
+            edges_other = t_other.select(
+                F.xxhash64("subj").alias("src"),
+                F.xxhash64("obj").alias("dst"),
+                "pred",
+                F.col("subj").alias("src_name"),
+                F.col("obj").alias("dst_name"),
+                "frame_id",
+                "category",
+                "repo", "path", "commit",
+            )
+            return (
+                edges_linked.unionByName(edges_other)
+                .groupBy("src", "dst", "pred", "src_name", "dst_name", "category")
+                .agg(
+                    F.count(F.lit(1)).alias("weight"),
+                    F.min("frame_id").alias("frame_id"),
+                    F.min(F.concat_ws("/", "repo", "path")).alias("example_doc"),
+                )
+            )
+
+        edges = self._stage("edges", build_edges, result, resume)
+
+        self.record_metric("pipeline", "edges_rows", edges.count())
+        return result
+
+
+def verify_sha256(docs: DataFrame, reference_docs: DataFrame) -> int:
+    """The per-row content invariant (BASELINE.json input_hint): recompute
+    sha2(content, 256) and anti-join against the reference corpus hashes;
+    returns number of mismatches (must be 0)."""
+    ours = docs.select(
+        "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("h")
+    )
+    ref = reference_docs.select(
+        "repo", "path", "commit", F.col("content_sha256").alias("h")
+    )
+    return ours.join(ref, ["repo", "path", "commit", "h"], "left_anti").count()
