@@ -130,18 +130,17 @@ def minhash_lsh_pairs(
         lsh_band_keys,
     )
 
-    from pyspark.storagelevel import StorageLevel
-
     base = spread(
         docs.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")),
         "id",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     banded = lsh_band_keys(
         base, "id", shingle_col(F.col("t"), cfg.shingle_size), cfg
     )
     # pairs feeds three downstream scans (cand_ids + both sides of the
-    # verify join); persist the slim (id_a, id_b) table once
-    pairs = candidate_id_pairs(banded, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    # verify join); materialize the slim (id_a, id_b) table once, eagerly
+    # (lazy persist would let concurrent scans race on uncached partitions)
+    pairs = candidate_id_pairs(banded, cfg).localCheckpoint(eager=True)
     # shingle each *distinct candidate document* exactly once, then join —
     # candidates are orders of magnitude fewer than pair occurrences
     cand_ids = (
@@ -225,12 +224,10 @@ def simhash_pairs(
             for j in range(4)
         ]
     )
-    from pyspark.storagelevel import StorageLevel
-
     banded = (
         d.withColumn("c", F.explode(chunks))
         .select(F.col("c.chunk_idx"), F.col("c.chunk"), "id", "sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # hot-chunk cap: a cluster of identical documents shares all four
     # chunks; unbounded blocks would go quadratic (same skew control as

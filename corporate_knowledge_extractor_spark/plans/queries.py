@@ -13,7 +13,7 @@ Parity rules (learned the hard way, documented for future rounds):
   * integer sums cast to BIGINT in DuckDB (else HUGEINT) — Spark's
     sum(long) is long already;
   * timestamps never returned raw — epoch seconds via unix_timestamp /
-    CAST(epoch(ts) AS BIGINT), with the Spark session pinned to UTC;
+    CAST(floor(epoch(ts)) AS BIGINT), with the Spark session pinned to UTC;
   * deterministic tie-breaking on every window rank (add id columns to
     ORDER BY).
 """
@@ -329,7 +329,7 @@ def minute_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, max(in_last_minute) AS max_per_minute FROM (
       SELECT user_id,
-             count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                             RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS in_last_minute
       FROM events
     ) GROUP BY user_id
@@ -894,3 +894,284 @@ def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return similarity.ann_topk(e, q, dim=64, k=5, num_planes=6)
+
+
+# =====================================================================
+# Set ops / rollup / pivot / sessions / percentiles (SURVEY.md §2.4-2.6)
+# =====================================================================
+
+
+@query(
+    "set_ops_users",
+    """
+    SELECT 'both' AS segment, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    UNION ALL
+    SELECT 'purchase_only' AS segment, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    """,
+    doc="O4 relational set ops (intersect / except) — compare_reports.py:193-197",
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    view = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    both = purch.intersect(view).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("segment"), "n"
+    )
+    only = purch.subtract(view).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("purchase_only").alias("segment"), "n"
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "rollup_docs",
+    """
+    SELECT lang, source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+    doc="rollup aggregation (free in Spark; absent in the reference — "
+    "SURVEY.md §2.4 'not present' list)",
+)
+def rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query(
+    "pivot_event_types",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup
+    FROM events GROUP BY user_id
+    """,
+    doc="pivot / conditional aggregation (A6 category-bucket analogue)",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "gap_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id,
+             ts
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_sec
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30-min inactivity gap) — the guide's "
+    "sessionization pattern; reference analogue A1",
+)
+def gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("sec", F.unix_timestamp("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("sec").over(w)
+    is_new = F.when(prev.isNull() | ((F.col("sec") - prev) > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("sec") - F.min("sec")).alias("duration_sec"),
+        )
+    )
+
+
+@query(
+    "price_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="exact percentiles (A8 quality-threshold analogue); approx variant "
+    "is approx_percentile at scale",
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )
+
+
+@query(
+    "topn_slice",
+    """
+    SELECT lang,
+           array_to_string(
+             (list(CAST(doc_id AS VARCHAR) ORDER BY n_chars DESC, doc_id))[1:5],
+             ',') AS top5_docs
+    FROM documents GROUP BY lang
+    """,
+    doc="W7 top-N truncation via ordered collect + slice "
+    "(compare_reports.py:203-204)",
+)
+def topn_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ordered = F.transform(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_chars")).alias("neg"),
+                        F.col("doc_id").alias("doc_id"),
+                    )
+                )
+            ),
+            1,
+            5,
+        ),
+        lambda s: s.doc_id.cast("string"),
+    )
+    return d.groupBy("lang").agg(F.array_join(ordered, ",").alias("top5_docs"))
+
+
+@query(
+    "chunk_sizing",
+    """
+    SELECT CAST(n_chars // 5000 + 1 AS BIGINT) AS num_chunks,
+           count(*) AS n_docs,
+           round(avg(n_chars * 1.0 / (n_chars // 5000 + 1)), 4) AS avg_chunk_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="A10 chunk-count sizing arithmetic (chunker.py:112,133)",
+)
+def chunk_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_chunks = (F.floor(F.col("n_chars") / 5000) + 1).cast("long")
+    return (
+        d.withColumn("num_chunks", n_chunks)
+        .groupBy("num_chunks")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_chars") / F.col("num_chunks")), 4).alias(
+                "avg_chunk_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "minhash_parity",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE doc_id < 100
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 2 + 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5('0' || s))) AS sig0,
+           list_min(list_transform(shingles, s -> md5('1' || s))) AS sig1,
+           list_min(list_transform(shingles, s -> md5('2' || s))) AS sig2,
+           list_min(list_transform(shingles, s -> md5('3' || s))) AS sig3
+    FROM sh
+    """,
+    doc="cross-engine MinHash parity: signature = lexicographic min of "
+    "seeded md5 over word-3-shingles — proves the minhash construction "
+    "independent of engine hash functions",
+)
+def minhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 100) & (textstats.token_count(F.col("text")) >= 3)
+    )
+    sh = dedup.word_shingles(F.col("text"), 3)
+    out = d.select(F.col("doc_id"), sh.alias("shingles"))
+
+    def sig_col(seed: int):
+        # NOTE: a default-arg lambda (lambda s, _seed=seed: ...) would be
+        # inspected as a two-parameter higher-order function and receive
+        # the array INDEX as its second argument — closure factory instead
+        return F.array_min(
+            F.transform(
+                F.col("shingles"), lambda s: F.md5(F.concat(F.lit(str(seed)), s))
+            )
+        )
+
+    for seed in range(4):
+        out = out.withColumn(f"sig{seed}", sig_col(seed))
+    return out.drop("shingles")
+
+
+def _quality_sql() -> str:
+    stops = list(textstats.EN_STOPWORDS)
+    toks = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+    return f"""
+    WITH feats AS (
+      SELECT lang,
+             len({toks}) AS n_tok,
+             length(text) AS n_chars,
+             round(len(list_filter({toks}, t -> list_contains({stops!r}, t)))
+                   * 1.0 / greatest(len({toks}), 1), 4) AS stop_ratio,
+             round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   * 1.0 / greatest(length(text), 1), 4) AS punct_ratio
+      FROM documents
+    ), scored AS (
+      SELECT lang, stop_ratio,
+             round((CASE WHEN n_tok >= 5 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END)
+                   + least(stop_ratio * 2, 0.3)
+                   + (CASE WHEN punct_ratio <= 0.1 THEN 0.3 ELSE 0.0 END), 4)
+               AS quality_score
+      FROM feats
+    )
+    SELECT lang, round(avg(quality_score), 4) AS avg_quality,
+           round(avg(stop_ratio), 4) AS avg_stopword_ratio,
+           count(*) AS n
+    FROM scored GROUP BY lang
+    """
+
+
+# upgrade quality_scores from rows-only to a full SQL-oracle check
+REGISTRY["quality_scores"] = Query(
+    fn=REGISTRY["quality_scores"].fn,
+    sql=_quality_sql(),
+    doc=REGISTRY["quality_scores"].doc,
+)

@@ -1,0 +1,127 @@
+"""Structured Streaming operators.
+
+The reference is pure batch (SURVEY.md §2.8), but two of its patterns are
+streaming-shaped and are provided here as true Structured Streaming jobs:
+
+  * the per-minute tumbling/sliding frame-rate window that drives the
+    adaptive mode switch (/root/reference/src/frames/extractor.py:245-299)
+    -> watermarked windowed aggregation;
+  * the adaptive parameter state machine itself
+    (extractor.py:204-299: frames/min -> powerpoint|demo mode)
+    -> applyInPandasWithState with one state row per document/user.
+
+Incremental ingest (the reference ROADMAP's "skip re-processing",
+ROADMAP.md:451-454) is the batch anti-join in plans/pipeline.py; its
+streaming twin is `Trigger.AvailableNow` over the same source, shown in
+`incremental_triples`.
+
+Tests drive these with the memory sink + processAllAvailable (no live
+source needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_len: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked (sliding) window counts per event_type.
+
+    Works on both a streaming and a batch DataFrame (the window/watermark
+    expressions are identical — Catalyst plans the stateful version only
+    under readStream)."""
+    w = F.window("ts", window_len, slide) if slide else F.window("ts", window_len)
+    # parquet yields TIMESTAMP_NTZ; watermarks require session-TZ timestamps
+    # (session is pinned to UTC so the cast is value-preserving)
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.groupBy(w.alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+# --- adaptive mode switch as stateful streaming ---------------------------
+
+MODE_SCHEMA = (
+    "user_id long, batch_events int, events_per_minute double, mode string, "
+    "switched boolean"
+)
+STATE_SCHEMA = "mode string, total long"
+
+# thresholds mirror the reference's hybrid preset
+# (/root/reference/config/presets/hybrid.yaml:8-52 via extractor.py:262-275):
+# high activity -> "demo" sampling profile, low -> "powerpoint"
+HIGH_ACTIVITY_PER_MIN = 8.0
+LOW_ACTIVITY_PER_MIN = 2.0
+
+
+def _mode_update(key, pdfs, state):
+    """applyInPandasWithState update fn: per-user activity state machine."""
+    import pandas as pd
+
+    (user_id,) = key
+    old_mode, total = state.get() if state.exists else ("powerpoint", 0)
+    n = 0
+    t_min, t_max = None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()
+        t_min = lo if t_min is None else min(t_min, lo)
+        t_max = hi if t_max is None else max(t_max, hi)
+    span_min = max((t_max - t_min).total_seconds() / 60.0, 1.0) if n else 1.0
+    per_min = n / span_min
+    if per_min >= HIGH_ACTIVITY_PER_MIN:
+        new_mode = "demo"
+    elif per_min <= LOW_ACTIVITY_PER_MIN:
+        new_mode = "powerpoint"
+    else:
+        new_mode = old_mode  # hysteresis: stay in mode between thresholds
+    state.update((new_mode, total + n))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "batch_events": n,
+                "events_per_minute": round(per_min, 4),
+                "mode": new_mode,
+                "switched": new_mode != old_mode,
+            }
+        ]
+    )
+
+
+def adaptive_mode_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user mode switching over a stream of events —
+    the AdaptiveFrameTracker as applyInPandasWithState."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _mode_update,
+        outputStructType=MODE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def incremental_triples(spark, docs_path: str, done_keys: DataFrame):
+    """Trigger.AvailableNow-style incremental processing sketch: stream the
+    docs source, anti-join already-done (repo, path, commit) keys, extract
+    triples for the remainder. Returns the streaming DataFrame (caller
+    attaches a sink + AvailableNow trigger)."""
+    from corporate_knowledge_extractor_spark.corpus import CORPUS_SCHEMA
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(docs_path)
+    return stream.join(done_keys, ["repo", "path", "commit"], "left_anti")

@@ -1,0 +1,132 @@
+"""Dedup suite + similarity search unit tests on controlled fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from corporate_knowledge_extractor_spark.config import LinkingConfig
+from corporate_knowledge_extractor_spark.operators import dedup, similarity, textstats
+
+DOCS = "doc_id long, text string, lang string"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "THE QUICK  BROWN FOX jumps over the lazy dog", "en"),  # exact dup (norm)
+        (2, "the quick brown fox jumps over the lazy cat today", "en"),  # near dup
+        (3, "completely different content about spark engines", "en"),
+        (4, "der schnelle braune fuchs springt", "de"),
+    ]
+    return spark.createDataFrame(rows, DOCS)
+
+
+def test_exact_duplicates(docs):
+    clusters = dedup.exact_duplicates(docs).collect()
+    assert len(clusters) == 1
+    assert sorted(clusters[0].members) == [0, 1]
+
+
+def test_keep_first_exact(docs):
+    kept = dedup.keep_first_exact(docs)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 2, 3, 4]  # doc 1 dropped, lowest id kept
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got  # identical after normalization
+    assert (0, 2) in got or (1, 2) in got  # near dup crosses 0.4
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cfg = LinkingConfig(num_hashes=64, num_bands=32, shingle_size=5)
+    pairs = dedup.minhash_lsh_pairs(docs, cfg=cfg, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert all(p[0] != 3 and p[1] != 3 for p in got)
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=16).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got.get((0, 1)) == 0  # identical normalized text -> same simhash
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_brute_force_topk_self_is_top1(spark):
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id = 0").select(F.lit(0).alias("query_id"), "embedding")
+    top = similarity.brute_force_topk(emb, q, k=2).orderBy("rank").collect()
+    assert top[0].vec_id == 0 and math.isclose(top[0].cosine_sim, 1.0, abs_tol=1e-3)
+    assert top[1].vec_id == 1
+
+
+def test_ann_recall_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ann_topk(emb, q, dim=16, k=5, num_planes=4).collect()
+    }
+    # the query itself always lands in its own bucket
+    assert all((i, i) in approx for i in range(3))
+    # approximate recall is nonzero and results are a plausible subset
+    assert len(exact & approx) >= 3
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (0, "the cat and the dog of the house", "en"),
+        (1, "der hund und die katze ist nicht da", "de"),
+        (2, "le chat et la maison est grande", "fr"),
+        (3, "xyzzy plugh qwerty", "zz"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS)
+    got = {
+        r.doc_id: r.pred
+        for r in docs.select(
+            "doc_id", textstats.lang_id(F.col("text")).alias("pred")
+        ).collect()
+    }
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "und"
+
+    feats = {r.doc_id: r for r in textstats.quality_features(docs).collect()}
+    assert feats[0].quality_score > feats[3].quality_score
+    assert feats[0].n_tokens == 8
+    assert feats[0].stopword_ratio > 0.3
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    docs = spark.createDataFrame(
+        [(0, "Alpha  Beta\tGamma", "en"), (1, "alpha beta gamma", "en")], DOCS
+    )
+    fps = [
+        r.fp
+        for r in docs.select(textstats.fingerprint(F.col("text")).alias("fp")).collect()
+    ]
+    assert fps[0] == fps[1]

@@ -44,3 +44,23 @@ def test_resume_reuses_done_stages(spark, tmp_path):
         for r in fresh.tables["triples"].select("subj", "pred", "obj").collect()
     }
     assert got == want
+
+
+def test_incremental_docs_anti_join(spark, tmp_path):
+    from corporate_knowledge_extractor_spark.corpus import generate_corpus
+
+    base = str(tmp_path / "ckg_incr")
+    pipe = Pipeline(spark, base, run_id="incr1")
+    pipe.run(sf=0.001, resume=True, stop_after="triples")
+
+    # same corpus again: everything already processed
+    docs = generate_corpus(spark, sf=0.001)
+    assert pipe.incremental_docs(docs).count() == 0
+
+    # same corpus + 20 genuinely new docs: only those survive the anti-join
+    from corporate_knowledge_extractor_spark.corpus import generate_doc
+
+    extra = spark.createDataFrame([generate_doc(i, 500, 20) for i in range(500, 520)])
+    bigger = docs.unionByName(extra.select(*docs.columns))
+    remaining = pipe.incremental_docs(bigger)
+    assert remaining.count() == 20
