@@ -169,7 +169,7 @@ class Pipeline:
     ) -> PipelineResult:
         result = PipelineResult(run_id=self.run_id)
         order = [
-            "docs", "blocks", "mentions", "triples",
+            "docs", "blocks", "mentions", "aligned", "triples",
             "entities", "links", "components", "nodes", "edges",
         ]
 
@@ -205,6 +205,37 @@ class Pipeline:
             resume,
         )
         if done("mentions"):
+            return result
+
+        # stage [5] analogue (scripts/run.py:83, src/align/aligner.py:4-20):
+        # align each block segment ("speech") to its best-scoring mention
+        # ("frame") — J1 scored interval join. Context table only; the
+        # triple path consumes mentions directly.
+        def build_aligned() -> DataFrame:
+            from corporate_knowledge_extractor_spark.operators.align import (
+                align_segments_to_frames,
+            )
+            from corporate_knowledge_extractor_spark.operators.segment import (
+                block_segments,
+            )
+
+            segs = block_segments(blocks).select(
+                "repo", "path", "commit",
+                F.col("block_id").alias("seg_id"),
+                F.col("start").cast("double").alias("start"),
+                F.col("end").cast("double").alias("end"),
+                "text",
+            )
+            frames = mentions.select(
+                "repo", "path", "commit",
+                F.col("line_no").cast("double").alias("ts"),
+                F.col("surface").alias("text"),
+                "tags",
+            )
+            return align_segments_to_frames(segs, frames, self.cfg.alignment)
+
+        self._stage("aligned", build_aligned, result, resume)
+        if done("aligned"):
             return result
 
         triples = self._stage(

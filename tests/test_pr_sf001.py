@@ -1,0 +1,40 @@
+"""P/R gate at sf0.01 — the driver's correctness scale (TESTDATA.md t2).
+
+The sf0.001 gate in test_pipeline.py covers the staged pipeline; this one
+runs the lazy extraction chain at 10x the corpus and re-asserts
+BASELINE.json's P/R >= 0.95 against the pandas oracle, plus the sha256
+invariant, at the scale the driver actually grades."""
+
+from __future__ import annotations
+
+import pytest
+
+from corporate_knowledge_extractor_spark.corpus import (
+    generate_corpus,
+    generate_corpus_pandas,
+)
+from corporate_knowledge_extractor_spark.plans.oracle import oracle_triples
+from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples, verify_sha256
+from corporate_knowledge_extractor_spark.plans.verify import precision_recall
+
+
+@pytest.fixture(scope="module")
+def sf001(spark):
+    docs = generate_corpus(spark, sf=0.01)
+    triples = extract_triples(docs)
+    docs_pdf = generate_corpus_pandas(sf=0.01)
+    return docs, triples, docs_pdf
+
+
+def test_pr_gate_sf001(spark, sf001):
+    docs, triples, docs_pdf = sf001
+    pr = precision_recall(triples, oracle_triples(docs_pdf))
+    assert pr.precision >= 0.95, pr
+    assert pr.recall >= 0.95, pr
+    assert pr.n_pipeline > 50_000  # scale sanity: ~93k triples at sf0.01
+
+
+def test_sha256_invariant_sf001(spark, sf001):
+    docs, _, docs_pdf = sf001
+    ref = spark.createDataFrame(docs_pdf)
+    assert verify_sha256(docs, ref) == 0
