@@ -1,0 +1,83 @@
+"""Report sinks + re-loader: S7 (markdown), S8 (JSONL), S9 (metadata),
+S11 (verification re-loader).
+
+Reference: /root/reference/src/output/generator.py:9-57 writes report.md,
+knowledge.jsonl and metadata.json per run; scripts/compare_reports.py:37-99
+loads them back for the regression diff. Spark form: the JSONL sink is a
+distributed `df.write.json`; the markdown report renders a *small
+collected summary* driver-side (presentation only — SURVEY.md §2.1/S7);
+metadata is a tiny JSON of counts. S10's sort+renumber happens upstream
+as the W3 window (operators/synthesize.renumber_frames).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_report(
+    out_dir: str,
+    triples: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    created: str = "1970-01-01T00:00:00Z",
+) -> dict:
+    """Write report.md + knowledge.jsonl + metadata.json. Returns the
+    metadata dict. `created` is injectable for determinism (the reference
+    stamps wall-clock, generator.py:20 — a reproducibility bug class we
+    avoid)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    # S8: JSONL sink — one JSON object per triple, distributed write
+    triples.select(
+        "subj", "pred", "obj", "frame_id", "category"
+    ).write.mode("overwrite").json(os.path.join(out_dir, "knowledge.jsonl"))
+
+    # S9: metadata counts (generator.py:49-55 shape)
+    meta = {
+        "created": created,
+        "triples_count": triples.count(),
+        "nodes_count": nodes.count(),
+        "edges_count": edges.count(),
+    }
+    with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+    # S7: markdown report — small aggregates collected, rendered driver-side
+    by_cat = (
+        triples.groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "category")
+        .collect()
+    )
+    top_nodes = (
+        nodes.orderBy(F.desc("total_freq"), "canonical")
+        .select("canonical", "n_aliases", "total_freq")
+        .limit(10)
+        .collect()
+    )
+    lines = ["# Knowledge report", "", "## Triples by category", ""]
+    lines += [f"- **{r.category}**: {r.n}" for r in by_cat]
+    lines += ["", "## Top entities", ""]
+    lines += [
+        f"- `{r.canonical}` ({r.n_aliases} aliases, freq {r.total_freq})"
+        for r in top_nodes
+    ]
+    with open(os.path.join(out_dir, "report.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return meta
+
+
+def load_report(spark: SparkSession, out_dir: str) -> dict:
+    """S11: read a report dir back for verification
+    (compare_reports.py:37-99 analogue)."""
+    triples = spark.read.json(os.path.join(out_dir, "knowledge.jsonl"))
+    with open(os.path.join(out_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(out_dir, "report.md")) as f:
+        markdown = f.read()
+    return {"triples": triples, "metadata": meta, "markdown": markdown}
