@@ -22,36 +22,50 @@ from corporate_knowledge_extractor_spark.functions import rules
 from corporate_knowledge_extractor_spark.operators.segment import DOC_KEY
 
 
-def _one(df: DataFrame, pattern: str, group: int, mtype: str) -> DataFrame:
-    m = F.regexp_extract(F.col("line"), pattern, group)
-    return (
-        df.withColumn("surface", m)
-        .where(F.col("surface") != "")
-        .withColumn("mention_type", F.lit(mtype))
-    )
-
-
 def detect_mentions(blocked_lines: DataFrame) -> DataFrame:
-    """Union of per-rule extracts; one scan feeds all branches.
+    """Single-scan rule bank: one pass over the lines builds an array of
+    (type, surface) candidates per line, filters empties, explodes.
 
     The `from X import Y` line yields two mentions (module + symbol),
     mirroring the reference's UDTF-style 1-row->N-rows transcription shape
     (SURVEY.md §2.9). Deterministic within-line ordering comes from the
     fixed MENTION_TYPE_ORDER (first-seen-wins parity, SURVEY.md §7 risk).
+
+    This was originally six filtered branches unioned together; that shape
+    re-scans the input per rule (6x upstream work without an explicit
+    materialization barrier) and anti-scaled under thread concurrency.
+    The fused array+explode form is one WholeStageCodegen pass and needs
+    no checkpoint at all.
     """
     base = blocked_lines.select(*DOC_KEY, "block_id", "line_no", "line")
-    parts = [
-        _one(base, rules.RE_IMPORT, 1, "import"),
-        _one(base, rules.RE_FROM_IMPORT, 1, "import"),
-        _one(base, rules.RE_FROM_IMPORT, 2, "import_symbol"),
-        _one(base, rules.RE_DEF, 1, "function_def"),
-        _one(base, rules.RE_CALL, 1, "call"),
-        _one(base, rules.RE_PERSON_COMMENT, 1, "person"),
+    rule_bank = [
+        (rules.RE_IMPORT, 1, "import"),
+        (rules.RE_FROM_IMPORT, 1, "import"),
+        (rules.RE_FROM_IMPORT, 2, "import_symbol"),
+        (rules.RE_DEF, 1, "function_def"),
+        (rules.RE_CALL, 1, "call"),
+        (rules.RE_PERSON_COMMENT, 1, "person"),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.drop("line")
+    candidates = F.array(
+        *[
+            F.struct(
+                F.regexp_extract(F.col("line"), pattern, group).alias("surface"),
+                F.lit(mtype).alias("mention_type"),
+            )
+            for pattern, group, mtype in rule_bank
+        ]
+    )
+    matched = F.filter(candidates, lambda c: c.surface != "")
+    return (
+        base.withColumn("_m", F.explode(matched))
+        .select(
+            *DOC_KEY,
+            "block_id",
+            "line_no",
+            F.col("_m.surface").alias("surface"),
+            F.col("_m.mention_type").alias("mention_type"),
+        )
+    )
 
 
 def tag_mentions(mentions: DataFrame) -> DataFrame:

@@ -49,10 +49,15 @@ def validate_calls(triples: DataFrame) -> DataFrame:
         .select(F.col("obj").alias("_known"))
         .distinct()
     )
-    calls = triples.where(F.col("pred") == "calls").join(
-        known, F.col("obj") == F.col("_known"), "left_semi"
+    # single-pass form: a split/semi-join/union would scan the (expensive,
+    # window-deduped) triples input twice more; the left join against the
+    # distinct known set keeps multiplicity at 1 and one predicate keeps
+    # exactly the rows the semi-join + union would
+    return (
+        triples.join(known, triples.obj == F.col("_known"), "left")
+        .where((F.col("pred") != "calls") | F.col("_known").isNotNull())
+        .drop("_known")
     )
-    return triples.where(F.col("pred") != "calls").unionByName(calls)
 
 
 def categorize(triples: DataFrame) -> DataFrame:

@@ -38,29 +38,32 @@ def synthesize_triples(mentions: DataFrame) -> DataFrame:
     doc = _doc_key()
     frame_id = F.lpad(F.col("orig_idx").cast("string"), 3, "0")
 
-    def proj(df: DataFrame, subj: F.Column, pred: str, obj: F.Column) -> DataFrame:
+    def proj(df: DataFrame, subj: F.Column, pred: F.Column, obj: F.Column) -> DataFrame:
         return df.select(
             *DOC_KEY,
             subj.alias("subj"),
-            F.lit(pred).alias("pred"),
+            pred.alias("pred"),
             obj.alias("obj"),
             frame_id.alias("frame_id"),
             F.col("line_no"),
         )
 
-    imports = proj(
-        mentions.where(F.col("mention_type") == "import"), doc, "imports", F.col("surface")
-    )
-    import_syms = proj(
-        mentions.where(F.col("mention_type") == "import_symbol"),
+    # R1-R3 fused: one scan, pred mapped from mention_type (three filtered
+    # unions would re-scan the mention table per rule)
+    pred_map = {
+        "import": "imports",
+        "import_symbol": "imports_symbol",
+        "function_def": "defines",
+    }
+    non_call = proj(
+        mentions.where(F.col("mention_type").isin(*pred_map)),
         doc,
-        "imports_symbol",
-        F.col("surface"),
-    )
-    defines = proj(
-        mentions.where(F.col("mention_type") == "function_def"),
-        doc,
-        "defines",
+        F.coalesce(
+            *[
+                F.when(F.col("mention_type") == t, F.lit(p))
+                for t, p in pred_map.items()
+            ]
+        ),
         F.col("surface"),
     )
 
@@ -77,11 +80,11 @@ def synthesize_triples(mentions: DataFrame) -> DataFrame:
     calls_t = proj(
         calls,
         F.concat(_doc_key(), F.lit("::"), F.col("enclosing_fn")),
-        "calls",
+        F.lit("calls"),
         F.col("surface"),
     )
 
-    return imports.unionByName(import_syms).unionByName(defines).unionByName(calls_t)
+    return non_call.unionByName(calls_t)
 
 
 def renumber_frames(triples: DataFrame) -> DataFrame:

@@ -63,13 +63,9 @@ def extract_triples(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     checkpoints instead.
     """
     blocked = junk_block_filter(assign_blocks(split_lines(docs)))
-    if persist:
-        # eager: a lazy .persist() materialized mid-job makes the six
-        # mention branches race on uncached partitions (cache-lock
-        # contention + duplicated upstream work — measured 2.7x slowdown
-        # at 32 threads); localCheckpoint(eager=True) materializes once,
-        # up front, and truncates lineage
-        blocked = blocked.localCheckpoint(eager=True)
+    # blocked is consumed exactly once now that detect_mentions is a fused
+    # single-scan rule bank — no checkpoint needed; the whole
+    # docs->mentions chain is one job
     mentions = redact_columns(
         tag_mentions(cap_mentions(detect_mentions(blocked), cfg.mentions)),
         ["surface"],
