@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from corporate_knowledge_extractor_spark.functions import rules
+
 
 @dataclass(frozen=True)
 class AlignmentConfig:
@@ -30,12 +32,19 @@ class AlignmentConfig:
 
 @dataclass(frozen=True)
 class MentionConfig:
-    """Candidate-detection caps — config/presets/*.yaml, extractor.py:131-154."""
+    """Candidate-detection caps — config/presets/*.yaml, extractor.py:131-154.
+
+    All four knobs are read by operators/mentions.py (sample_lines /
+    mention_stage / cap_mentions); presets below vary them exactly as the
+    reference presets vary sample_rate / max_per_minute / max_total /
+    deduplication.similarity_threshold."""
 
     sample_every_n_lines: int = 1  # F2 sampler analogue (extractor.py:109,140)
     max_per_block: int = 10  # max_per_minute analogue (extractor.py:136-138)
     max_total: int = 500  # hard cap per document (extractor.py:131-133)
-    dedup_jaccard: float = 0.90  # text_similarity threshold (processing.yaml:117-127)
+    # adjacent-mention text-similarity dedup (extractor.py:302-353); None
+    # disables the stage — the default contract the P/R oracle mirrors
+    dedup_jaccard: float | None = None
 
 
 @dataclass(frozen=True)
@@ -72,6 +81,11 @@ class LinkingConfig:
 class CanonicalizeConfig:
     max_iterations: int = 20  # CC fixpoint bound (SURVEY.md §7 risk)
     salt_buckets: int = 16  # salting fan-out for hot labels
+    # vertices whose degree reaches this go through the salted join path
+    # (their edge lists would otherwise land on one reducer per round);
+    # sized so the cold path's worst reducer stays well under one
+    # shuffle-partition budget at target scale
+    hot_degree_threshold: int = 100_000
 
 
 @dataclass(frozen=True)
@@ -86,8 +100,12 @@ class RedactionConfig:
     mask_emails: bool = True
     mask_phones: bool = True
     custom_terms: tuple[str, ...] = ()
-    email_pattern: str = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"  # anonymizer.py:38
-    phone_pattern: str = r"\+?[\d\s\-\(\)]{10,}"  # anonymizer.py:46
+    # patterns are *read by redact_expr* (operators/redact.py) — overriding
+    # them changes the plan; defaults are the rules.py constants so the
+    # pandas P/R oracle and the Spark plan agree out of the box
+    name_pattern: str = rules.RE_PERSON_NAME  # dictionary NER stand-in (anonymizer.py:29-33)
+    email_pattern: str = rules.RE_EMAIL  # anonymizer.py:38
+    phone_pattern: str = rules.RE_PHONE  # anonymizer.py:46, anchored to digits
 
 
 @dataclass(frozen=True)
@@ -101,3 +119,93 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+# ---------------------------------------------------------------------
+# Named presets — the reference ships four parameter sets selected via
+# --preset (/root/reference/scripts/run.py:108-159; yaml files under
+# config/presets/). Each preset here carries the same three ingredients
+# its yaml does: a name/description, the knob values, and an
+# *expected-output envelope* (presets/*.yaml `expected_output:` blocks,
+# e.g. powerpoint.yaml:63-66 frames_per_hour 30-60) restated as
+# mentions-per-document ranges that tests/test_presets.py asserts on the
+# synthetic corpus.
+# ---------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OutputEnvelope:
+    """Checkable analogue of expected_output (presets/*.yaml)."""
+
+    mentions_per_doc: tuple[float, float]  # frames_per_hour analogue
+    triples_per_doc: tuple[float, float]  # slides_in_report analogue
+
+
+@dataclass(frozen=True)
+class Preset:
+    name: str
+    description: str
+    config: EngineConfig
+    envelope: OutputEnvelope
+
+
+PRESETS: dict[str, Preset] = {
+    # powerpoint.yaml: sample_rate 1, max_per_minute 10, max_total 300 —
+    # the check-everything default; dedup runs at the triple stage only
+    # (matching the P/R-oracled default contract)
+    "dense_code": Preset(
+        name="dense_code",
+        description="check every line, generous caps (powerpoint.yaml analogue)",
+        config=EngineConfig(mentions=MentionConfig()),
+        envelope=OutputEnvelope(
+            mentions_per_doc=(12.0, 22.0), triples_per_doc=(12.0, 22.0)
+        ),
+    ),
+    # excel.yaml: sample_rate 10, max_per_minute 3, max_total 150,
+    # similarity_threshold 0.90 — aggressive sampling for scroll-y content
+    "sparse_scan": Preset(
+        name="sparse_scan",
+        description="aggressive sampling + tight caps (excel.yaml analogue)",
+        config=EngineConfig(
+            mentions=MentionConfig(
+                sample_every_n_lines=3,
+                max_per_block=3,
+                max_total=150,
+                dedup_jaccard=0.90,
+            )
+        ),
+        envelope=OutputEnvelope(
+            mentions_per_doc=(2.0, 8.0), triples_per_doc=(2.0, 8.0)
+        ),
+    ),
+    # demo.yaml: sample_rate 15, max_per_minute 4, max_total 200,
+    # similarity_threshold 0.88
+    "walkthrough": Preset(
+        name="walkthrough",
+        description="medium sampling and caps (demo.yaml analogue)",
+        config=EngineConfig(
+            mentions=MentionConfig(
+                sample_every_n_lines=2,
+                max_per_block=4,
+                max_total=200,
+                dedup_jaccard=0.88,
+            )
+        ),
+        envelope=OutputEnvelope(
+            mentions_per_doc=(4.0, 12.0), triples_per_doc=(4.0, 12.0)
+        ),
+    ),
+    # hybrid.yaml:8-52: mixed-mode thresholds between the two extremes
+    "hybrid": Preset(
+        name="hybrid",
+        description="mixed-content middle ground (hybrid.yaml analogue)",
+        config=EngineConfig(
+            mentions=MentionConfig(
+                max_per_block=6, max_total=300, dedup_jaccard=0.85
+            )
+        ),
+        envelope=OutputEnvelope(
+            mentions_per_doc=(10.0, 22.0), triples_per_doc=(10.0, 22.0)
+        ),
+    ),
+}

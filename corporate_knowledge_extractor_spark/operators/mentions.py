@@ -111,6 +111,48 @@ def cap_mentions(mentions: DataFrame, cfg: MentionConfig = MentionConfig()) -> D
     )
 
 
+def sample_lines(blocked_lines: DataFrame, cfg: MentionConfig = MentionConfig()) -> DataFrame:
+    """F2 sampler: consider only every n-th line for mention detection —
+    the reference's `sample_rate` (seconds between frame checks,
+    extractor.py:109,140; presets vary it 1..15s). n=1 (default) is the
+    check-everything PowerPoint behavior and a no-op predicate."""
+    if cfg.sample_every_n_lines <= 1:
+        return blocked_lines
+    return blocked_lines.where(
+        F.col("line_no") % cfg.sample_every_n_lines == 0
+    )
+
+
+def mention_stage(
+    blocked_lines: DataFrame, cfg: MentionConfig = MentionConfig()
+) -> DataFrame:
+    """The full candidate-detection stage in reference order
+    (extractor.py capture loop): sample -> detect -> adjacent text dedup
+    (when the preset enables it, deduplication.similarity_threshold in
+    presets/*.yaml) -> rate caps + numbering. Redaction/tagging stay with
+    the caller (they need RedactionConfig)."""
+    m = detect_mentions(sample_lines(blocked_lines, cfg))
+    if cfg.dedup_jaccard is not None:
+        from corporate_knowledge_extractor_spark.operators.changedetect import (
+            dedup_vs_previous_kept,
+        )
+
+        type_order = F.coalesce(
+            *[
+                F.when(F.col("mention_type") == t, F.lit(i))
+                for t, i in rules.MENTION_TYPE_ORDER.items()
+            ]
+        )
+        m = dedup_vs_previous_kept(
+            m.withColumn("_ord", F.col("line_no") * 8 + type_order),
+            DOC_KEY,
+            "_ord",
+            "surface",
+            cfg.dedup_jaccard,
+        ).drop("_ord")
+    return cap_mentions(m, cfg)
+
+
 def junk_block_filter(blocked_lines: DataFrame) -> DataFrame:
     """Drop whole blocks containing junk markers *before* any downstream
     work — the reference filters junk frames before OCR/LLM precisely to

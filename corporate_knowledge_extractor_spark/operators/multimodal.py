@@ -110,6 +110,15 @@ def feature_extract(media: DataFrame, batch_probe: dict | None = None) -> DataFr
     `batch_probe` (tests only) records observed batch sizes to assert the
     batching contract."""
 
+    import hashlib
+
+    def _sha31(b: bytes) -> int:
+        # content-addressed digest truncated to the int32 schema slot;
+        # hashlib (not builtin hash()) so the value is stable across
+        # worker processes and PYTHONHASHSEED values — the determinism
+        # contract every extractor in this repo carries
+        return int.from_bytes(hashlib.sha256(b).digest()[:4], "big") % 2**31
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if batch_probe is not None:
@@ -119,7 +128,7 @@ def feature_extract(media: DataFrame, batch_probe: dict | None = None) -> DataFr
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len),
-                    "payload_sha": pdf["payload"].map(lambda b: hash(bytes(b)) % 2**31),
+                    "payload_sha": pdf["payload"].map(lambda b: _sha31(bytes(b))),
                     "feature": pdf["payload"].map(lambda b: _fake_feature(bytes(b))),
                 }
             )

@@ -19,14 +19,17 @@ from corporate_knowledge_extractor_spark.functions import rules
 
 
 def redact_expr(col: Column, cfg: RedactionConfig = RedactionConfig()) -> Column:
-    """The anonymize() chain as a single column expression."""
+    """The anonymize() chain as a single column expression. Patterns come
+    from the config (defaults mirror functions/rules.py) so deployments
+    can override them per-preset — overriding a config field must never
+    be a silent no-op."""
     out = col
     if cfg.mask_names:
-        out = F.regexp_replace(out, rules.RE_PERSON_NAME, rules.MASK_PERSON)
+        out = F.regexp_replace(out, cfg.name_pattern, rules.MASK_PERSON)
     if cfg.mask_emails:
-        out = F.regexp_replace(out, rules.RE_EMAIL, rules.MASK_EMAIL)
+        out = F.regexp_replace(out, cfg.email_pattern, rules.MASK_EMAIL)
     if cfg.mask_phones:
-        out = F.regexp_replace(out, rules.RE_PHONE, rules.MASK_PHONE)
+        out = F.regexp_replace(out, cfg.phone_pattern, rules.MASK_PHONE)
     for term in cfg.custom_terms:
         # anonymizer.py:52-59: literal, case-insensitive
         escaped = "".join("\\" + c if not c.isalnum() else c for c in term)

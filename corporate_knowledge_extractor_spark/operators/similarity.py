@@ -89,19 +89,35 @@ def ann_topk(
     dim: int,
     k: int = 10,
     num_planes: int = 8,
+    multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: equi-join on LSH bucket instead of crossJoin.
     Recall < 1 by design; at 100 TB this is the difference between
-    scanning a bucket (~1/2^planes of the corpus) and scanning everything.
-    """
+    scanning a handful of buckets and scanning everything.
+
+    ``multiprobe=1`` (default) also probes every Hamming-1 neighbor of
+    the query's bucket — the standard multiprobe-LSH recall lift: a
+    vector near a hyperplane lands on either side with ~equal odds, so
+    the 1-bit-flipped buckets hold most of the lost neighbors. The
+    explode happens on the (tiny, broadcast) query side only; the corpus
+    is still bucketed exactly once, so scan cost is
+    (1 + num_planes) / 2^num_planes of the corpus per query.
+    ``multiprobe=0`` probes the exact bucket only."""
     e = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
+    base_bucket = lsh_bucket(F.col(vec_col), dim, num_planes)
+    probes = [base_bucket]
+    if multiprobe >= 1:
+        probes += [
+            base_bucket.bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(num_planes)
+        ]
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        lsh_bucket(F.col(vec_col), dim, num_planes).alias("_bucket"),
+        F.explode(F.array(*probes)).alias("_bucket"),
     )
     scored = e.join(F.broadcast(q), "_bucket").withColumn(
         "cosine_sim", F.round(cosine(F.col(vec_col), F.col("_qvec")), 4)

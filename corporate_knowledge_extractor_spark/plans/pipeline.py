@@ -37,9 +37,8 @@ from corporate_knowledge_extractor_spark.corpus import generate_corpus
 from corporate_knowledge_extractor_spark.operators import canonicalize as cc
 from corporate_knowledge_extractor_spark.operators import linking
 from corporate_knowledge_extractor_spark.operators.mentions import (
-    cap_mentions,
-    detect_mentions,
     junk_block_filter,
+    mention_stage,
     tag_mentions,
 )
 from corporate_knowledge_extractor_spark.operators.postprocess import post_process
@@ -54,25 +53,42 @@ def extract_triples(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     """The extraction slice (docs -> triples) as one lazy chain.
 
     For callers that don't checkpoint stage tables (entry smoke, bench,
-    the kg_triples query) the fan-out points are persisted explicitly:
-    `detect_mentions` unions six regex branches over the blocked lines and
-    `synthesize_triples`/`post_process` re-scan the mention table several
-    times — without persistence the whole upstream chain (including corpus
-    generation) re-executes per branch (measured 6-10x at sf0.1).
-    The staged Pipeline below gets the same effect from its parquet
-    checkpoints instead.
+    the kg_triples query) the mention fan-out point is persisted
+    explicitly: `synthesize_triples`/`post_process` re-scan the mention
+    table several times — without persistence the whole upstream chain
+    (including corpus generation) re-executes per scan (measured ~2x
+    end-to-end at 300k docs).
+
+    The materialization is a *serialized in-memory persist* (eagerly
+    counted), not localCheckpoint: (a) serialized blocks are 3-5x
+    smaller, so at bench scale they stay entirely in executor memory
+    instead of serializing every round on the sandbox's one shared disk
+    (the measured scaling drag: ext 0.82 -> ext_nockpt 0.91 efficiency at
+    2->8 cores); (b) `spark.catalog.clearCache()` actually releases
+    persisted blocks, while localCheckpoint RDDs leak until GC — repeated
+    bench runs degraded measurably from the accumulation. The eager
+    count keeps the round-1 rule: concurrent downstream scans must never
+    race on uncached partitions.
+
+    `tags` is deliberately not computed here — the triple path never
+    reads it (the staged Pipeline's mentions table keeps tags for the
+    `aligned` stage); an unused array<string> column would ride through
+    the persist and both downstream scans for free.
     """
     blocked = junk_block_filter(assign_blocks(split_lines(docs)))
     # blocked is consumed exactly once now that detect_mentions is a fused
     # single-scan rule bank — no checkpoint needed; the whole
     # docs->mentions chain is one job
     mentions = redact_columns(
-        tag_mentions(cap_mentions(detect_mentions(blocked), cfg.mentions)),
+        mention_stage(blocked, cfg.mentions),
         ["surface"],
         cfg.redaction,
     )
     if persist:
-        mentions = mentions.localCheckpoint(eager=True)
+        from pyspark import StorageLevel
+
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        mentions.count()
     return post_process(synthesize_triples(mentions))
 
 
@@ -193,7 +209,7 @@ class Pipeline:
         mentions = self._stage(
             "mentions",
             lambda: redact_columns(
-                tag_mentions(cap_mentions(detect_mentions(blocks), self.cfg.mentions)),
+                tag_mentions(mention_stage(blocks, self.cfg.mentions)),
                 ["surface"],
                 self.cfg.redaction,
             ),
@@ -271,6 +287,13 @@ class Pipeline:
                 on_iteration=lambda i, changed: self.record_metric(
                     "components", f"cc_changed_iter_{i}", changed
                 ),
+                # shuffle-balance evidence (north_rule: skew handled
+                # explicitly): worst per-join-key reducer load after the
+                # hot/cold salt split, plus how many keys went hot
+                on_skew_stats=lambda s: [
+                    self.record_metric("components", f"cc_{k}", v)
+                    for k, v in s.items()
+                ],
             ),
             result,
             resume,

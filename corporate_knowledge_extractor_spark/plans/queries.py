@@ -129,8 +129,8 @@ def title_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), grouped AS (
       SELECT user_id, event_type,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS grp
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
       FROM flagged
     )
     SELECT user_id, grp, event_type, count(*) AS run_length
@@ -849,9 +849,9 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "kg_triples",
-    None,
+    None,  # full DuckDB oracle registered below via _kg_sql()
     doc="the KG pipeline's extraction stage on the synthetic corpus "
-    "(P/R gate in tests/test_pipeline.py)",
+    "(P/R gate in tests/test_pipeline.py + full DuckDB oracle _kg_sql)",
 )
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from corporate_knowledge_extractor_spark.corpus import generate_corpus
@@ -862,11 +862,175 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(docs)
 
 
+def _kg_sql() -> str:
+    """DuckDB re-statement of the *entire* extraction pipeline
+    (segment -> junk filter -> mention rule bank -> caps -> redaction ->
+    triple synthesis -> dedup -> call validation -> categorize) over the
+    pandas-twin corpus parquet — every constant comes from
+    functions/rules.py and config.py, so this oracle and the Spark plan
+    can only agree by computing the same thing.
+
+    The Spark side generates the corpus at sf0.001 (500 docs) or sf0.01
+    (5000 docs) depending on the harness scale; the oracle picks the
+    matching twin parquet by probing the registered `events` view's row
+    count (1000 at sf0.001, >= 10000 otherwise).
+    """
+    from corporate_knowledge_extractor_spark.config import DEFAULT_CONFIG
+    from corporate_knowledge_extractor_spark.corpus import twin_corpus_parquet
+
+    p_small = twin_corpus_parquet(0.001)
+    p_large = twin_corpus_parquet(0.01)
+    mcfg = DEFAULT_CONFIG.mentions
+
+    junk_pred = " OR ".join(
+        f"contains(lower(line), '{p}')" for p in rules.JUNK_BLOCK_PATTERNS
+    )
+    rule_bank = [
+        (rules.RE_IMPORT, 1, "import", 0),
+        (rules.RE_FROM_IMPORT, 1, "import", 0),
+        (rules.RE_FROM_IMPORT, 2, "import_symbol", 1),
+        (rules.RE_DEF, 1, "function_def", 2),
+        (rules.RE_CALL, 1, "call", 3),
+        (rules.RE_PERSON_COMMENT, 1, "person", 4),
+    ]
+    cand_branches = "\n      UNION ALL\n".join(
+        f"""      SELECT repo, path, commit, block_id, line_no,
+             regexp_extract(line, '{pat}', {grp}) AS surface,
+             '{mtype}' AS mention_type, {torder} AS torder
+      FROM nojunk WHERE regexp_extract(line, '{pat}', {grp}) <> ''"""
+        for pat, grp, mtype, torder in rule_bank
+    )
+
+    def norm(col: str) -> str:
+        return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+    score_cols = ",\n           ".join(
+        f"({_category_score_sql_on('obj', kws)}) AS s_{cat}"
+        for cat, kws in rules.CATEGORY_KEYWORDS
+    )
+    cats = [c for c, _ in rules.CATEGORY_KEYWORDS]
+    cases = []
+    for i, cat in enumerate(cats):
+        conds = [f"s_{cat} > 0"]
+        conds += [f"s_{c2} < s_{cat}" for c2 in cats[:i]]
+        conds += [f"s_{c2} <= s_{cat}" for c2 in cats[i + 1 :]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{cat}'")
+    category_case = f"CASE {' '.join(cases)} ELSE '{rules.DEFAULT_CATEGORY}' END"
+
+    return f"""
+    WITH corpus AS (
+      SELECT repo, path, commit, content FROM read_parquet('{p_small}')
+      WHERE (SELECT count(*) FROM events) < 5000
+      UNION ALL
+      SELECT repo, path, commit, content FROM read_parquet('{p_large}')
+      WHERE (SELECT count(*) FROM events) >= 5000
+    ), lines AS (
+      SELECT repo, path, commit,
+             unnest(range(len(ls))) AS line_no,
+             unnest(ls) AS line
+      FROM (SELECT repo, path, commit, string_split(content, chr(10)) AS ls
+            FROM corpus)
+    ), blocked AS (
+      SELECT repo, path, commit, line_no, line,
+             sum(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY repo, path, commit ORDER BY line_no) AS block_id
+      FROM lines
+      QUALIFY trim(line) <> ''
+    ), nojunk AS (
+      SELECT repo, path, commit, block_id, line_no, line FROM (
+        SELECT b.*,
+               max(CASE WHEN {junk_pred} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY repo, path, commit, block_id) AS _junk
+        FROM blocked b
+      ) WHERE _junk = 0
+    ), cand AS (
+{cand_branches}
+    ), capped AS (
+      SELECT * FROM cand
+      QUALIFY row_number() OVER (PARTITION BY repo, path, commit, block_id
+                                 ORDER BY line_no, torder) <= {mcfg.max_per_block}
+    ), numbered AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path, commit
+                                   ORDER BY line_no, torder) AS orig_idx
+      FROM capped
+      QUALIFY orig_idx <= {mcfg.max_total}
+    ), redacted AS (
+      SELECT repo, path, commit, block_id, line_no, mention_type, orig_idx,
+             regexp_replace(regexp_replace(regexp_replace(surface,
+               '{rules.RE_PERSON_NAME}', '{rules.MASK_PERSON}', 'g'),
+               '{rules.RE_EMAIL}', '{rules.MASK_EMAIL}', 'g'),
+               '{rules.RE_PHONE}', '{rules.MASK_PHONE}', 'g') AS surface
+      FROM numbered
+    ), non_call AS (
+      SELECT repo, path, commit,
+             repo || '/' || path AS subj,
+             CASE mention_type WHEN 'import' THEN 'imports'
+                  WHEN 'import_symbol' THEN 'imports_symbol'
+                  ELSE 'defines' END AS pred,
+             surface AS obj,
+             lpad(CAST(orig_idx AS VARCHAR), 3, '0') AS frame_id,
+             line_no
+      FROM redacted
+      WHERE mention_type IN ('import', 'import_symbol', 'function_def')
+    ), defs_pb AS (
+      SELECT repo, path, commit, block_id, min_by(surface, line_no) AS enclosing_fn
+      FROM redacted WHERE mention_type = 'function_def'
+      GROUP BY repo, path, commit, block_id
+    ), calls_t AS (
+      SELECT r.repo, r.path, r.commit,
+             r.repo || '/' || r.path || '::' || d.enclosing_fn AS subj,
+             'calls' AS pred, r.surface AS obj,
+             lpad(CAST(r.orig_idx AS VARCHAR), 3, '0') AS frame_id,
+             r.line_no
+      FROM redacted r
+      JOIN defs_pb d USING (repo, path, commit, block_id)
+      WHERE r.mention_type = 'call'
+    ), raw_triples AS (
+      SELECT * FROM non_call UNION ALL SELECT * FROM calls_t
+    ), deduped AS (
+      SELECT repo, path, commit, subj, pred, obj, frame_id, line_no
+      FROM raw_triples
+      QUALIFY row_number() OVER (
+        PARTITION BY repo, path, commit,
+                     {norm('subj')}, {norm('pred')}, {norm('obj')}
+        ORDER BY line_no, frame_id) = 1
+    ), known AS (
+      SELECT DISTINCT obj AS _known FROM deduped
+      WHERE pred IN ('defines', 'imports_symbol')
+    ), validated AS (
+      SELECT d.repo, d.path, d.commit, d.subj, d.pred, d.obj, d.frame_id, d.line_no
+      FROM deduped d LEFT JOIN known k ON d.obj = k._known
+      WHERE d.pred <> 'calls' OR k._known IS NOT NULL
+    ), cat_scored AS (
+      SELECT *,
+           {score_cols}
+      FROM validated
+    )
+    SELECT repo, path, commit, subj, pred, obj, frame_id, line_no,
+           {category_case} AS category
+    FROM cat_scored
+    """
+
+
+def _category_score_sql_on(col: str, cat_keywords) -> str:
+    return " + ".join(
+        f"(CASE WHEN contains({col}, '{kw}') THEN 1 ELSE 0 END)"
+        for kw in cat_keywords
+    )
+
+
+REGISTRY["kg_triples"] = Query(
+    fn=kg_triples, sql=_kg_sql(), doc=REGISTRY["kg_triples"].doc
+)
+
+
 @query(
     "minhash_neardup",
     None,
     doc="MinHash+LSH near-dup pairs over documents (operators/dedup.py); "
-    "hash functions differ across engines -> rows-only",
+    "the fast path hashes shingles with xxhash64 (JVM-only) -> rows-only "
+    "here, while minhash_parity proves the identical min-over-hash "
+    "construction against DuckDB with an engine-neutral hash",
 )
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -876,7 +1040,10 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simhash_neardup",
     None,
-    doc="SimHash near-dup pairs over documents (operators/dedup.py)",
+    doc="SimHash near-dup pairs over documents (operators/dedup.py); the "
+    "fast path hashes shingles with xxhash64 (JVM-only) -> rows-only "
+    "here, while simhash_parity proves the identical majority-vote "
+    "construction against DuckDB with an engine-neutral hash",
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -885,8 +1052,9 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_ann",
-    None,
-    doc="LSH-bucketed approximate nearest neighbors (operators/similarity.py)",
+    None,  # full DuckDB oracle registered below via _ann_sql()
+    doc="LSH-bucketed approximate nearest neighbors with Hamming-1 "
+    "multiprobe (operators/similarity.py)",
 )
 def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -894,6 +1062,50 @@ def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return similarity.ann_topk(e, q, dim=64, k=5, num_planes=6)
+
+
+def _ann_sql(dim: int = 64, k: int = 5, num_planes: int = 6) -> str:
+    """DuckDB oracle for embedding_ann: the LCG hyperplanes are plain
+    arithmetic, so the bucket assignment (sign of dot with each plane)
+    and the Hamming-1 multiprobe explode are both restated exactly —
+    cross-engine fp parity for the dot products is the precedent
+    embedding_topk already established (list_dot_product vs the native
+    fold agree at 4-decimal rounding on this data)."""
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding, "
+        f"{similarity._hyperplane(dim, p)!r}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(num_planes)]
+    )
+    cos = (
+        "list_dot_product(e.embedding, p.qvec) / "
+        "(sqrt(list_dot_product(e.embedding, e.embedding)) * "
+        "sqrt(list_dot_product(p.qvec, p.qvec)))"
+    )
+    return f"""
+    WITH e_b AS (
+      SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, bucket
+      FROM e_b WHERE vec_id < 4
+    ), probes AS (
+      SELECT query_id, qvec, unnest([{probe_list}]) AS bucket FROM q
+    ), scored AS (
+      SELECT p.query_id, e.vec_id,
+             round({cos}, 4) AS cosine_sim,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY round({cos}, 4) DESC, e.vec_id) AS rank
+      FROM e_b e JOIN probes p USING (bucket)
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM scored WHERE rank <= {k}
+    """
+
+
+REGISTRY["embedding_ann"] = Query(
+    fn=embedding_ann, sql=_ann_sql(), doc=REGISTRY["embedding_ann"].doc
+)
 
 
 # =====================================================================
@@ -985,8 +1197,8 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
              ts
       FROM flagged
     )
@@ -1139,6 +1351,71 @@ def minhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for seed in range(4):
         out = out.withColumn(f"sig{seed}", sig_col(seed))
     return out.drop("shingles")
+
+
+def _simhash_parity_sql(n_bits: int = 32) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(ms, m -> "
+        f"contains('13579bdf', substr(m, {b + 1}, 1)))) >= len(ms) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return rf"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE doc_id < 100
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1])) AS shingles
+      FROM words WHERE len(w) >= 2
+    ), ms AS (
+      SELECT doc_id, list_transform(shingles, s -> md5(s)) AS ms FROM sh
+    )
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash32 FROM ms
+    """
+
+
+@query(
+    "simhash_parity",
+    None,  # SQL registered below (generated from the same bit construction)
+    doc="cross-engine SimHash parity: 32-bit per-bit majority vote where "
+    "bit b of a shingle = parity of hex digit b of md5(shingle) — proves "
+    "the SimHash majority-vote construction (dedup.simhash64's core) "
+    "independent of engine hash functions, the simhash analogue of "
+    "minhash_parity",
+)
+def simhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bits = 32
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 100) & (textstats.token_count(F.col("text")) >= 2)
+    )
+    sh = dedup.word_shingles(F.col("text"), 2)
+    ms = F.transform(sh, lambda s: F.md5(s))
+    base = d.select(F.col("doc_id"), ms.alias("ms"), F.size(ms).alias("n"))
+
+    def bit_col(b: int) -> F.Column:
+        # closure factory (see sig_col note above re: default-arg lambdas)
+        ones = F.size(
+            F.filter(
+                F.col("ms"),
+                lambda m: F.contains(F.lit("13579bdf"), F.substring(m, b + 1, 1)),
+            )
+        )
+        return F.when(2 * ones >= F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+
+    sim = bit_col(0)
+    for b in range(1, n_bits):
+        sim = sim + bit_col(b)
+    return base.select("doc_id", sim.cast("long").alias("simhash32"))
+
+
+REGISTRY["simhash_parity"] = Query(
+    fn=simhash_parity,
+    sql=_simhash_parity_sql(),
+    doc=REGISTRY["simhash_parity"].doc,
+)
 
 
 def _quality_sql() -> str:

@@ -47,3 +47,29 @@ def precision_recall(
         n_oracle=len(want),
         n_matched=matched,
     )
+
+
+def precision_recall_distributed(
+    pipeline_triples: DataFrame,
+    reference_triples: DataFrame,
+    keys: tuple[str, ...] = ("subj", "pred", "obj", "category"),
+) -> PRResult:
+    """Join-based P/R: never collects either triple set to the driver.
+
+    `precision_recall` above materializes the full distinct set driver-side
+    — fine at the sf0.01 gate, a driver OOM at sf >= 1. This variant keeps
+    everything as three distributed counts (distinct sizes + inner-join
+    size), so it runs at any corpus scale; use it when the reference side
+    is itself a DataFrame (e.g. a previous run's triples table)."""
+    got = pipeline_triples.select(*keys).distinct()
+    want = reference_triples.select(*list(keys)).distinct()
+    n_got = got.count()
+    n_want = want.count()
+    n_matched = got.join(want, list(keys), "inner").count()
+    return PRResult(
+        precision=n_matched / n_got if n_got else 0.0,
+        recall=n_matched / n_want if n_want else 0.0,
+        n_pipeline=n_got,
+        n_oracle=n_want,
+        n_matched=n_matched,
+    )

@@ -52,10 +52,25 @@ def test_minhash_lsh_finds_near_dups(docs):
 
 
 def test_simhash_near_dups(docs):
-    pairs = dedup.simhash_pairs(docs, max_hamming=16).collect()
+    pairs = dedup.simhash_pairs(docs, max_hamming=7).collect()
     got = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert got.get((0, 1)) == 0  # identical normalized text -> same simhash
     assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    """A pair at hamming 6 whose differing bits span all four 16-bit
+    chunks (the old blocking's blind spot) MUST surface under the 8-chunk
+    blocking: 6 differing bits can touch at most 6 of 8 chunks, so >= 2
+    chunks still collide."""
+    sh_b = (1 << 0) | (1 << 10) | (1 << 20) | (1 << 30) | (1 << 40) | (1 << 50)
+    sig = spark.createDataFrame([(0, 0), (1, sh_b)], "id long, sh long")
+    pairs = dedup.simhash_pairs_from_sig(sig, max_hamming=7).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(0, 1, 6)}
+    # asking for a radius the blocking cannot guarantee is an error,
+    # never silent recall loss
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs_from_sig(sig, max_hamming=8)
 
 
 def test_brute_force_topk_self_is_top1(spark):
@@ -89,14 +104,24 @@ def test_ann_recall_vs_brute_force(spark):
         (r.query_id, r.vec_id)
         for r in similarity.brute_force_topk(emb, q, k=5).collect()
     }
-    approx = {
+    single = {
         (r.query_id, r.vec_id)
-        for r in similarity.ann_topk(emb, q, dim=16, k=5, num_planes=4).collect()
+        for r in similarity.ann_topk(
+            emb, q, dim=16, k=5, num_planes=4, multiprobe=0
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ann_topk(
+            emb, q, dim=16, k=5, num_planes=4, multiprobe=1
+        ).collect()
     }
     # the query itself always lands in its own bucket
-    assert all((i, i) in approx for i in range(3))
-    # approximate recall is nonzero and results are a plausible subset
-    assert len(exact & approx) >= 3
+    assert all((i, i) in single and (i, i) in multi for i in range(3))
+    # multiprobe widens the candidate set -> recall vs brute force can
+    # only go up, and must be measurably nonzero
+    assert len(exact & multi) >= len(exact & single)
+    assert len(exact & multi) >= 5
 
 
 def test_lang_id_and_quality(spark):

@@ -32,6 +32,23 @@ def test_feature_extract_batched(media):
     assert all(again[r.doc_id] == r.feature for r in rows)
 
 
+def test_payload_sha_is_hashseed_independent(media):
+    """payload_sha must be a *content* digest: the same value the driver
+    computes with hashlib here must come back from the (separately
+    seeded) Python worker processes — builtin hash() would fail this
+    under any unpinned PYTHONHASHSEED."""
+    import hashlib
+
+    got = {
+        r.doc_id: r.payload_sha
+        for r in multimodal.feature_extract(media).collect()
+    }
+    for doc_id in list(got)[:10]:
+        payload = f"payload:{doc_id}".encode()
+        want = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big") % 2**31
+        assert got[doc_id] == want
+
+
 def test_frame_sample_explodes_videos(media):
     sampled = multimodal.frame_sample(media, every_ms=1000)
     rows = sampled.collect()

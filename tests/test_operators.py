@@ -156,3 +156,31 @@ def test_categorize_argmax_and_default(spark):
     assert got["load_user_data"] == "data"
     assert got["zzz"] == "general"
     assert got["parse_graph"] == "compute"
+
+
+def test_synthesize_backends_agree(spark):
+    """The applyInPandas batch backend (the LLM-backend seam shape) must
+    emit byte-identical triples to the native-expression backend on a
+    real corpus slice — interchangeability is what the strategy seam
+    promises (reference: src/synthesize/base.py + *_backend.py)."""
+    from corporate_knowledge_extractor_spark.corpus import generate_corpus
+    from corporate_knowledge_extractor_spark.operators.mentions import (
+        mention_stage,
+        junk_block_filter as jbf,
+    )
+    from corporate_knowledge_extractor_spark.operators.synthesize import (
+        synthesize_triples,
+        synthesize_triples_batched,
+    )
+
+    docs = generate_corpus(spark, n_docs=120)
+    mentions = mention_stage(jbf(assign_blocks(split_lines(docs)))).localCheckpoint(
+        eager=True
+    )
+    cols = ["repo", "path", "commit", "subj", "pred", "obj", "frame_id", "line_no"]
+    native = {tuple(r) for r in synthesize_triples(mentions).select(*cols).collect()}
+    batched = {
+        tuple(r) for r in synthesize_triples_batched(mentions).select(*cols).collect()
+    }
+    assert native == batched
+    assert len(native) > 500

@@ -15,7 +15,10 @@ from corporate_knowledge_extractor_spark.corpus import (
 )
 from corporate_knowledge_extractor_spark.plans.oracle import oracle_triples
 from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples, verify_sha256
-from corporate_knowledge_extractor_spark.plans.verify import precision_recall
+from corporate_knowledge_extractor_spark.plans.verify import (
+    precision_recall,
+    precision_recall_distributed,
+)
 
 
 @pytest.fixture(scope="module")
@@ -32,6 +35,20 @@ def test_pr_gate_sf001(spark, sf001):
     assert pr.precision >= 0.95, pr
     assert pr.recall >= 0.95, pr
     assert pr.n_pipeline > 50_000  # scale sanity: ~93k triples at sf0.01
+
+
+def test_pr_distributed_matches_collect(spark, sf001):
+    """The no-collect P/R (the sf>=1 path) must agree exactly with the
+    driver-side set arithmetic on the same inputs."""
+    docs, triples, docs_pdf = sf001
+    want = oracle_triples(docs_pdf)
+    base = precision_recall(triples, want)
+    dist = precision_recall_distributed(
+        triples, spark.createDataFrame(want[["subj", "pred", "obj", "category"]])
+    )
+    assert (dist.n_pipeline, dist.n_oracle, dist.n_matched) == (
+        base.n_pipeline, base.n_oracle, base.n_matched,
+    )
 
 
 def test_sha256_invariant_sf001(spark, sf001):
