@@ -83,6 +83,159 @@ def lsh_bucket(vec: F.Column, dim: int, num_planes: int = 12) -> F.Column:
     return bucket
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    multiprobe: int = 1,
+    max_block_size: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup strategy
+    (operators/dedup.py module docstring): candidates from LSH sign-bucket
+    collisions (optionally Hamming-1 neighbor buckets, which for high
+    thresholds recovers most pairs split by a single hyperplane), exact
+    cosine only on collided candidates. Hot buckets are capped like every
+    other blocked self-join in this repo, so no reducer goes quadratic on
+    a dense embedding cluster."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("_b"),
+    )
+    probes = [F.col("_b")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("_b").bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(num_planes)
+        ]
+    left = e.select(
+        F.explode(F.array(*probes)).alias("_bucket"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+    )
+    right = e.select(
+        F.col("_b").alias("_bucket"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+    ).localCheckpoint(eager=True)
+    sizes = right.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    small = right.join(
+        sizes.where(F.col("_n") <= max_block_size), "_bucket", "inner"
+    ).select("_bucket", "id_b", "v_b")
+    return (
+        left.join(small, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .distinct()
+    )
+
+
+def seed_centroids(dim: int, k: int) -> list[list[float]]:
+    """Deterministic IVF seed centroids (LCG, no wall-clock seeds)."""
+    return [_hyperplane(dim, 1000 + c) for c in range(k)]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "_cluster",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (coarse quantizer).
+    One fused expression — argmax over a literal centroid array; no join,
+    no UDF, scan-parallel at any corpus size."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("s"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return embeddings.withColumn(out, F.array_max(scored)["c"])
+
+
+def ivf_refine_centroids(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    iterations: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement, driver-collecting only k x dim floats per round
+    (k is small by construction; the corpus is never collected). Empty
+    clusters keep their previous centroid."""
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, centroids, vec_col)
+        means = (
+            assigned.groupBy("_cluster")
+            .agg(
+                F.array(
+                    *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
+                ).alias("mean")
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r._cluster] = [float(x) for x in r.mean]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    lloyd_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus once (argmax
+    cosine over k centroids, Lloyd-refined), then scan only each query's
+    `nprobe` nearest inverted lists. At 100 TB this scans nprobe/k of the
+    corpus per query with one equi-join — the alternative scale path to
+    the LSH buckets of ann_topk (IVF adapts to the data distribution;
+    LSH needs no training pass)."""
+    cents = ivf_refine_centroids(
+        embeddings, seed_centroids(dim, n_centroids), lloyd_iterations, vec_col
+    )
+    e = ivf_assign(embeddings, cents, vec_col)
+    cent_lit = [F.array(*[F.lit(v) for v in c]) for c in cents]
+    probe_rank = F.array(
+        *[
+            F.struct(cosine(F.col(vec_col), cent_lit[i]).alias("s"), F.lit(i).alias("c"))
+            for i in range(len(cents))
+        ]
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(probe_rank)), 1, nprobe)
+        ).alias("_p"),
+    ).select(query_id_col, "_qvec", F.col("_p.c").alias("_cluster"))
+    scored = e.join(F.broadcast(q), "_cluster").withColumn(
+        "cosine_sim", F.round(cosine(F.col(vec_col), F.col("_qvec")), 4)
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

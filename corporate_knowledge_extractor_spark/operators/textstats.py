@@ -33,6 +33,25 @@ def distinct_token_count(col: F.Column) -> F.Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# GPT-2-style pre-tokenizer, restricted to constructs with identical
+# leftmost-first semantics in Java regex (Spark) and RE2 (DuckDB):
+# contractions, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, residual whitespace. This is the
+# "BPE-ish" token estimate an LLM-training pipeline budgets with before
+# a real tokenizer pass (subword merges change counts by a roughly
+# constant factor; the pre-tokenization boundaries are the distributed
+# part).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_ish_tokens(col: F.Column) -> F.Column:
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: F.Column) -> F.Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def _hits(toks: F.Column, words: tuple[str, ...]) -> F.Column:
     lit_words = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))

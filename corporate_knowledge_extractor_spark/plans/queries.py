@@ -806,6 +806,46 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_token_stats",
+    None,  # SQL registered below (generated from the shared pattern)
+    doc="BPE-ish subword token budgeting: GPT-2-style pre-tokenizer "
+    "boundaries via regexp_extract_all (operators/textstats.py), the "
+    "per-lang token-count estimate a training pipeline budgets with",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(textstats.bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
+        F.round(
+            F.avg(
+                textstats.bpe_ish_token_count(F.col("text"))
+                / F.greatest(textstats.token_count(F.col("text")), F.lit(1))
+            ),
+            4,
+        ).alias("avg_bpe_per_word"),
+    )
+
+
+def _bpe_token_sql() -> str:
+    pat = textstats.BPE_ISH_PATTERN.replace("'", "''")
+    words = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+    return f"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           round(avg(len(regexp_extract_all(text, '{pat}'))
+                     * 1.0 / greatest(len({words}), 1)), 4)
+             AS avg_bpe_per_word
+    FROM documents GROUP BY lang
+    """
+
+
+REGISTRY["bpe_token_stats"] = Query(
+    fn=bpe_token_stats, sql=_bpe_token_sql(), doc=REGISTRY["bpe_token_stats"].doc
+)
+
+
+@query(
     "doc_fingerprints",
     r"""
     SELECT count(DISTINCT md5(array_to_string(
@@ -1106,6 +1146,79 @@ def _ann_sql(dim: int = 64, k: int = 5, num_planes: int = 6) -> str:
 REGISTRY["embedding_ann"] = Query(
     fn=embedding_ann, sql=_ann_sql(), doc=REGISTRY["embedding_ann"].doc
 )
+
+
+@query(
+    "embedding_neardup",
+    None,  # full DuckDB oracle registered below via _embedding_neardup_sql()
+    doc="embedding-cosine near-duplicate pairs via LSH sign-bucket "
+    "blocking + exact cosine verify (operators/similarity.py) — the "
+    "fifth dedup strategy; the testdata embeddings are random (max "
+    "pairwise cosine ~0.48), so the 0.4 threshold exercises a real "
+    "candidate/verify path",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(
+        e, dim=64, threshold=0.4, num_planes=4
+    )
+
+
+def _embedding_neardup_sql(
+    dim: int = 64, threshold: float = 0.4, num_planes: int = 4,
+    max_block_size: int = 1000,
+) -> str:
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding, "
+        f"{similarity._hyperplane(dim, p)!r}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    probe_list = ", ".join(["b"] + [f"xor(b, {1 << p})" for p in range(num_planes)])
+    cos = (
+        "list_dot_product(l.v_a, r.v_b) / "
+        "(sqrt(list_dot_product(l.v_a, l.v_a)) * "
+        "sqrt(list_dot_product(r.v_b, r.v_b)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {bucket_terms} AS b FROM embeddings
+    ), sizes AS (
+      SELECT b, count(*) AS n FROM e GROUP BY b
+    ), rs AS (
+      SELECT e.b AS bucket, e.vec_id AS id_b, e.embedding AS v_b
+      FROM e JOIN sizes USING (b) WHERE sizes.n <= {max_block_size}
+    ), ls AS (
+      SELECT unnest([{probe_list}]) AS bucket, vec_id AS id_a, embedding AS v_a
+      FROM e
+    )
+    SELECT DISTINCT id_a, id_b, round({cos}, 4) AS cosine_sim
+    FROM ls l JOIN rs r USING (bucket)
+    WHERE l.id_a < r.id_b AND round({cos}, 4) >= {threshold}
+    """
+
+
+REGISTRY["embedding_neardup"] = Query(
+    fn=embedding_neardup,
+    sql=_embedding_neardup_sql(),
+    doc=REGISTRY["embedding_neardup"].doc,
+)
+
+
+@query(
+    "embedding_ivf",
+    None,
+    doc="IVF approximate top-k (coarse k-means quantizer + nprobe "
+    "inverted-list scan, operators/similarity.py) — rows-only: the Lloyd "
+    "refinement averages floats across engines in different orders, so a "
+    "hash-identical SQL twin is not honest; recall vs brute force is "
+    "asserted in tests/test_dedup_similarity.py instead",
+)
+def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.ivf_topk(e, q, dim=64, k=5, n_centroids=8, nprobe=3)
 
 
 # =====================================================================

@@ -124,6 +124,52 @@ def test_ann_recall_vs_brute_force(spark):
     assert len(exact & multi) >= 5
 
 
+def test_embedding_neardup_finds_planted_pairs(spark):
+    """Plant three near-duplicate vector pairs (tiny perturbations of a
+    base vector) among random noise; the LSH-blocked near-dup pass must
+    surface all of them and no random pair."""
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for pair in range(3):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((pair * 2, base))
+        rows.append((pair * 2 + 1, [v + rng.gauss(0, 0.01) for v in base]))
+    rows += [(100 + i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_neardup_pairs(
+        emb, dim=dim, threshold=0.99, num_planes=4
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(0, 1), (2, 3), (4, 5)}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(13)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            emb, q, dim=dim, k=5, n_centroids=8, nprobe=3
+        ).collect()
+    }
+    # each query's own vector lands in its own probed cluster
+    assert all((i, i) in approx for i in range(3))
+    # nprobe=3 of 8 clusters must recover a majority of the true top-5
+    assert len(exact & approx) >= 8
+
+
 def test_lang_id_and_quality(spark):
     rows = [
         (0, "the cat and the dog of the house", "en"),
