@@ -116,6 +116,27 @@ def adaptive_mode_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] = ("user_id", "event_id"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop rows whose key was already seen
+    within the watermark horizon — the ingest guard a training-data
+    pipeline puts in front of every at-least-once source (re-delivered
+    docs must not re-enter extraction). Uses
+    `dropDuplicatesWithinWatermark`, so the dedup state is *bounded* by
+    the watermark instead of growing with the corpus — the only shape
+    that survives an unbounded stream. Batch twin: plain dropDuplicates
+    on the same keys (asserted equal in tests/test_streaming.py)."""
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df.isStreaming:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return df.dropDuplicates(list(key_cols))
+
+
 def incremental_triples(spark, docs_path: str, done_keys: DataFrame):
     """Trigger.AvailableNow-style incremental processing sketch: stream the
     docs source, anti-join already-done (repo, path, commit) keys, extract

@@ -78,3 +78,41 @@ def test_adaptive_mode_state_machine(spark, events_schema, tmp_path):
     assert len(rows) > 0
     assert {r.mode for r in rows} <= {"powerpoint", "demo"}
     assert all(r.events_per_minute >= 0 for r in rows)
+
+
+def test_dedup_stream_matches_batch(spark, events_schema, tmp_path):
+    """Exactly-once ingest guard: re-delivered rows (same user_id/event_id)
+    must be dropped by the streaming dedup, and the surviving set must
+    equal the batch twin's dropDuplicates."""
+    from corporate_knowledge_extractor_spark.streaming.events import dedup_stream
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(500)
+    dup_dir = str(tmp_path / "dup_events")
+    # simulate at-least-once delivery: every row delivered twice
+    events.unionAll(events).repartition(4).write.parquet(dup_dir)
+
+    batch = spark.read.parquet(dup_dir)
+    want = {
+        (r.user_id, r.event_id) for r in dedup_stream(batch).collect()
+    }
+    assert len(want) == 500
+
+    stream = spark.readStream.schema(events_schema).parquet(dup_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_events")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r.user_id, r.event_id)
+            for r in spark.sql("SELECT user_id, event_id FROM dedup_events").collect()
+        ]
+    finally:
+        q.stop()
+    assert len(got) == len(set(got)), "stream emitted a duplicate key"
+    assert set(got) == want
