@@ -1,0 +1,66 @@
+"""Physical-plan regression gate: the properties PLANS.md documents are
+asserted here so a future edit can't silently trade them away — filters
+must reach the parquet scan, small sides must broadcast, the hot path
+must stay inside WholeStageCodegen, and nothing may plan a cartesian
+product. This is the 100x-scale contract in executable form.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from corporate_knowledge_extractor_spark.plans.explain_report import CHECKS
+from corporate_knowledge_extractor_spark.plans.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> properties that MUST hold in its physical plan
+REQUIRED = {
+    "pricing_summary": ["pushed_filters", "codegen"],
+    "topk_per_group": ["codegen"],  # + WindowGroupLimit asserted below
+    "interval_join": ["pushed_filters", "broadcast_join", "codegen"],
+    "asof_join": ["pushed_filters", "broadcast_join", "codegen"],
+    "semi_join_customers": ["pushed_filters", "broadcast_join", "codegen"],
+    "category_argmax": ["codegen"],
+    "embedding_topk": ["pushed_filters", "broadcast_join", "codegen"],
+    "embedding_ann": ["pushed_filters", "broadcast_join", "codegen"],
+}
+
+
+def _plan(spark, name: str, execute: bool = True) -> str:
+    from corporate_knowledge_extractor_spark.plans.explain_report import plan_text
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    text = plan_text(df, execute=execute)
+    spark.catalog.clearCache()
+    return text
+
+
+@pytest.mark.parametrize("name", sorted(REQUIRED))
+def test_plan_properties(spark, name):
+    plan = _plan(spark, name)
+    missing = [p for p in REQUIRED[name] if not CHECKS[p].search(plan)]
+    assert not missing, f"{name}: plan lost properties {missing}\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product planned"
+
+
+def test_topk_prunes_before_shuffle(spark):
+    """The per-group top-k must keep the WindowGroupLimit partial/final
+    pair — without it every group's full row set crosses the shuffle and
+    the query stops surviving scale-up."""
+    plan = _plan(spark, "topk_per_group")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+
+
+def test_no_cartesian_anywhere_in_registry(spark):
+    """No registered query may plan a CartesianProduct — broadcast
+    nested-loop against a bounded side is the only sanctioned fallback.
+    The pre-execution plan suffices for a structural veto (a cartesian
+    never appears only in the final plan when absent initially, since AQE
+    only *demotes* to broadcast, never promotes to cartesian)."""
+    offenders = []
+    for name in REGISTRY:
+        plan = _plan(spark, name, execute=False)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
