@@ -1052,6 +1052,66 @@ def _kg_sql() -> str:
     """
 
 
+@query(
+    "cc_canonical",
+    None,  # SQL registered below via _cc_canonical_sql()
+    doc="canonicalization end-to-end: extract entities from the KG "
+    "triples, build deterministic alias edges (equal stripped-norm key: "
+    "casefold, drop _/-, strip trailing v2), resolve with the iterative "
+    "connected-components operator, emit (surface, canonical=min surface "
+    "of the component). The edge rule makes components == key groups, so "
+    "DuckDB states the expected fixpoint in closed form while Spark has "
+    "to *reach* it by label propagation — a true cross-engine check of "
+    "the CC operator on thousands of real extracted entities",
+)
+def cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from corporate_knowledge_extractor_spark.corpus import generate_corpus
+    from corporate_knowledge_extractor_spark.operators import canonicalize as cc
+    from corporate_knowledge_extractor_spark.operators import linking
+    from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
+
+    sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
+    docs = generate_corpus(spark, sf=min(sf, 0.01))
+    entities = linking.extract_entities(extract_triples(docs))
+    keyed = entities.withColumn("k", F.regexp_replace("norm", "v2$", ""))
+    # star edges: every alias connects to its key group's min-surface
+    # anchor — linear edge count, same components as the full clique
+    anchors = keyed.groupBy("k").agg(F.min_by("entity_id", "surface").alias("_anchor"))
+    edges = (
+        keyed.join(anchors, "k")
+        .where(F.col("entity_id") != F.col("_anchor"))
+        .select(F.col("entity_id").alias("id_a"), F.col("_anchor").alias("id_b"))
+    )
+    comp = cc.connected_components(keyed.select("entity_id"), edges)
+    labeled = keyed.join(comp, "entity_id")
+    canon = labeled.groupBy("component").agg(F.min("surface").alias("canonical"))
+    return (
+        labeled.join(canon, "component")
+        .select("surface", "canonical")
+        .distinct()
+    )
+
+
+def _cc_canonical_sql() -> str:
+    kg = _kg_sql()
+    return f"""
+    WITH t AS (SELECT * FROM ({kg})), surf AS (
+      SELECT obj AS surface FROM t
+      WHERE pred IN ('defines', 'calls', 'imports_symbol')
+      UNION ALL
+      SELECT string_split(subj, '::')[2] AS surface FROM t WHERE pred = 'calls'
+    ), ent AS (
+      SELECT DISTINCT surface FROM surf
+    ), keyed AS (
+      SELECT surface,
+             regexp_replace(replace(replace(lower(surface), '_', ''), '-', ''),
+                            'v2$', '') AS k
+      FROM ent
+    )
+    SELECT surface, min(surface) OVER (PARTITION BY k) AS canonical FROM keyed
+    """
+
+
 def _category_score_sql_on(col: str, cat_keywords) -> str:
     return " + ".join(
         f"(CASE WHEN contains({col}, '{kw}') THEN 1 ELSE 0 END)"
@@ -1061,6 +1121,10 @@ def _category_score_sql_on(col: str, cat_keywords) -> str:
 
 REGISTRY["kg_triples"] = Query(
     fn=kg_triples, sql=_kg_sql(), doc=REGISTRY["kg_triples"].doc
+)
+
+REGISTRY["cc_canonical"] = Query(
+    fn=cc_canonical, sql=_cc_canonical_sql(), doc=REGISTRY["cc_canonical"].doc
 )
 
 
