@@ -1129,6 +1129,91 @@ REGISTRY["cc_canonical"] = Query(
 
 
 @query(
+    "linking_score_parity",
+    None,  # SQL registered below via _linking_score_sql()
+    doc="entity-linking scorer cross-engine: candidate pairs from a "
+    "deterministic 4-char-prefix block (the engine-neutral stand-in for "
+    "the xxhash64 MinHash bands, which stay pytest-checked), scored with "
+    "the SAME char-3-shingle Jaccard linking.score_pairs uses — proves "
+    "the similarity kernel against DuckDB on real extracted entities",
+)
+def linking_score_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from corporate_knowledge_extractor_spark.corpus import generate_corpus
+    from corporate_knowledge_extractor_spark.operators import linking
+    from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
+
+    sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
+    docs = generate_corpus(spark, sf=min(sf, 0.01))
+    ents = (
+        linking.extract_entities(extract_triples(docs))
+        .select("surface", "norm")
+        .withColumn("_blk", F.substring("norm", 1, 4))
+        .localCheckpoint(eager=True)
+    )
+    sizes = ents.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    small = ents.join(sizes.where(F.col("_n") <= 200), "_blk").select(
+        "_blk", "surface", linking.shingle_col(F.col("norm"), 3).alias("sh")
+    )
+    a = small.select("_blk", F.col("surface").alias("surface_a"), F.col("sh").alias("sh_a"))
+    b = small.select("_blk", F.col("surface").alias("surface_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("surface_a") < F.col("surface_b"))
+        .withColumn("similarity", F.round(jac, 4))
+        .where(F.col("similarity") >= 0.5)
+        .select("surface_a", "surface_b", "similarity")
+    )
+
+
+def _linking_score_sql() -> str:
+    kg = _kg_sql()
+    sh = (
+        "list_distinct(list_transform("
+        "range(1, greatest(length(s2) - 2, 1) + 1), i -> substr(s2, i, 3)))"
+    )
+    return f"""
+    WITH t AS (SELECT * FROM ({kg})), surf AS (
+      SELECT obj AS surface FROM t
+      WHERE pred IN ('defines', 'calls', 'imports_symbol')
+      UNION ALL
+      SELECT string_split(subj, '::')[2] AS surface FROM t WHERE pred = 'calls'
+    ), ent AS (
+      SELECT DISTINCT surface FROM surf
+    ), keyed AS (
+      SELECT surface,
+             replace(replace(lower(surface), '_', ''), '-', '') AS norm
+      FROM ent
+    ), blocked AS (
+      SELECT surface, norm, substr(norm, 1, 4) AS blk FROM keyed
+    ), small AS (
+      SELECT b.* FROM blocked b
+      JOIN (SELECT blk, count(*) AS n FROM blocked GROUP BY blk) s USING (blk)
+      WHERE s.n <= 200
+    ), sh_tbl AS (
+      SELECT blk, surface, {sh} AS sh FROM (
+        SELECT blk, surface,
+               CASE WHEN length(norm) < 3 THEN rpad(norm, 3, '#') ELSE norm END AS s2
+        FROM small)
+    )
+    SELECT a.surface AS surface_a, b.surface AS surface_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 4) AS similarity
+    FROM sh_tbl a JOIN sh_tbl b USING (blk)
+    WHERE a.surface < b.surface
+      AND round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+    """
+
+
+REGISTRY["linking_score_parity"] = Query(
+    fn=linking_score_parity,
+    sql=_linking_score_sql(),
+    doc=REGISTRY["linking_score_parity"].doc,
+)
+
+
+@query(
     "minhash_neardup",
     None,
     doc="MinHash+LSH near-dup pairs over documents (operators/dedup.py); "
