@@ -1112,6 +1112,147 @@ def _cc_canonical_sql() -> str:
     """
 
 
+def _entities_cte_sql() -> str:
+    """Shared CTE prefix: triples (the full kg restatement) -> entity
+    surfaces with frequencies and the deterministic alias key."""
+    kg = _kg_sql()
+    return f"""
+    WITH t AS (SELECT * FROM ({kg})), surf AS (
+      SELECT obj AS surface FROM t
+      WHERE pred IN ('defines', 'calls', 'imports_symbol')
+      UNION ALL
+      SELECT string_split(subj, '::')[2] AS surface FROM t WHERE pred = 'calls'
+    ), freqed AS (
+      SELECT surface, count(*) AS freq FROM surf GROUP BY surface
+    ), keyed AS (
+      SELECT surface, freq,
+             regexp_replace(replace(replace(lower(surface), '_', ''), '-', ''),
+                            'v2$', '') AS k
+      FROM freqed
+    )"""
+
+
+def _alias_components(spark: SparkSession, sf_dir: str):
+    """Spark twin of the CTE above + CC resolution: returns (entities
+    with component labels, triples) where components are computed by the
+    iterative CC operator over deterministic key-group star edges."""
+    from corporate_knowledge_extractor_spark.corpus import generate_corpus
+    from corporate_knowledge_extractor_spark.operators import canonicalize as cc
+    from corporate_knowledge_extractor_spark.operators import linking
+    from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
+
+    sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
+    docs = generate_corpus(spark, sf=min(sf, 0.01))
+    triples = extract_triples(docs).localCheckpoint(eager=True)
+    entities = linking.extract_entities(triples)
+    keyed = entities.withColumn("k", F.regexp_replace("norm", "v2$", ""))
+    anchors = keyed.groupBy("k").agg(F.min_by("entity_id", "surface").alias("_anchor"))
+    edges = (
+        keyed.join(anchors, "k")
+        .where(F.col("entity_id") != F.col("_anchor"))
+        .select(F.col("entity_id").alias("id_a"), F.col("_anchor").alias("id_b"))
+    )
+    comp = cc.connected_components(keyed.select("entity_id"), edges)
+    return keyed.join(comp, "entity_id"), triples
+
+
+@query(
+    "graph_nodes",
+    None,  # SQL registered below via _graph_nodes_sql()
+    doc="graph materialize, node side: canonicalize.build_nodes semantics "
+    "(canonical = most-frequent-then-smallest alias, sorted alias set, "
+    "freq totals) over CC-resolved components, projected to engine-"
+    "neutral columns and hash-checked against DuckDB",
+)
+def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from corporate_knowledge_extractor_spark.operators import canonicalize as cc
+
+    labeled, _ = _alias_components(spark, sf_dir)
+    nodes = cc.build_nodes(
+        labeled.select("surface", "freq", "entity_id"),
+        labeled.select("entity_id", "component"),
+    )
+    return nodes.select(
+        "canonical",
+        F.array_join("aliases", "|").alias("aliases"),
+        F.col("n_aliases"),
+        F.col("total_freq").cast("long").alias("total_freq"),
+    )
+
+
+def _graph_nodes_sql() -> str:
+    return f"""{_entities_cte_sql()}
+    SELECT first(surface ORDER BY freq DESC, surface ASC) AS canonical,
+           array_to_string(list_sort(list_distinct(list(surface))), '|') AS aliases,
+           count(*) AS n_aliases,
+           CAST(sum(freq) AS BIGINT) AS total_freq
+    FROM keyed GROUP BY k
+    """
+
+
+@query(
+    "graph_edges",
+    None,  # SQL registered below via _graph_edges_sql()
+    doc="graph materialize, edge side: pipeline.build_edges semantics "
+    "(rewrite linked-pred objects to their canonical alias, aggregate "
+    "edge weights + min frame_id + min example doc), projected to the "
+    "engine-neutral name-keyed columns and hash-checked against DuckDB",
+)
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from corporate_knowledge_extractor_spark.operators import canonicalize as cc
+
+    labeled, triples = _alias_components(spark, sf_dir)
+    cmap = cc.canonical_map(
+        labeled.select("surface", "freq", "entity_id"),
+        labeled.select("entity_id", "component"),
+    )
+    linked_preds = ("defines", "calls", "imports_symbol")
+    t_linked = triples.where(F.col("pred").isin(*linked_preds)).join(
+        cmap.select("surface", "canonical"), triples.obj == cmap.surface, "left"
+    )
+    t_other = triples.where(~F.col("pred").isin(*linked_preds)).withColumn(
+        "canonical", F.lit(None).cast("string")
+    )
+    both = t_linked.drop("surface").unionByName(t_other)
+    return (
+        both.select(
+            F.col("subj").alias("src_name"),
+            F.coalesce("canonical", F.col("obj")).alias("dst_name"),
+            "pred", "category", "frame_id", "repo", "path",
+        )
+        .groupBy("src_name", "dst_name", "pred", "category")
+        .agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.min("frame_id").alias("frame_id"),
+            F.min(F.concat_ws("/", "repo", "path")).alias("example_doc"),
+        )
+    )
+
+
+def _graph_edges_sql() -> str:
+    return f"""{_entities_cte_sql()}, canon_per_k AS (
+      SELECT k, first(surface ORDER BY freq DESC, surface ASC) AS canonical
+      FROM keyed GROUP BY k
+    ), canon AS (
+      SELECT keyed.surface, canon_per_k.canonical
+      FROM keyed JOIN canon_per_k USING (k)
+    ), rewritten AS (
+      SELECT t.subj AS src_name,
+             CASE WHEN t.pred IN ('defines', 'calls', 'imports_symbol')
+                  THEN coalesce(c.canonical, t.obj) ELSE t.obj END AS dst_name,
+             t.pred, t.category, t.frame_id,
+             t.repo || '/' || t.path AS doc
+      FROM t LEFT JOIN canon c
+        ON t.obj = c.surface AND t.pred IN ('defines', 'calls', 'imports_symbol')
+    )
+    SELECT src_name, dst_name, pred, category,
+           count(*) AS weight,
+           min(frame_id) AS frame_id,
+           min(doc) AS example_doc
+    FROM rewritten GROUP BY src_name, dst_name, pred, category
+    """
+
+
 def _category_score_sql_on(col: str, cat_keywords) -> str:
     return " + ".join(
         f"(CASE WHEN contains({col}, '{kw}') THEN 1 ELSE 0 END)"
@@ -1125,6 +1266,13 @@ REGISTRY["kg_triples"] = Query(
 
 REGISTRY["cc_canonical"] = Query(
     fn=cc_canonical, sql=_cc_canonical_sql(), doc=REGISTRY["cc_canonical"].doc
+)
+
+REGISTRY["graph_nodes"] = Query(
+    fn=graph_nodes, sql=_graph_nodes_sql(), doc=REGISTRY["graph_nodes"].doc
+)
+REGISTRY["graph_edges"] = Query(
+    fn=graph_edges, sql=_graph_edges_sql(), doc=REGISTRY["graph_edges"].doc
 )
 
 
