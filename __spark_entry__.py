@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO_DIR)
 
-from corporate_knowledge_extractor_spark.plans.queries import REGISTRY  # noqa: E402
+from corporate_knowledge_extractor_spark.plans.queries import (  # noqa: E402
+    REGISTRY,
+    resolve_sql,
+)
 
 
 from corporate_knowledge_extractor_spark.session import (  # noqa: E402
@@ -59,5 +62,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for every SQL-expressible query (column names and
-    float rounding match the Spark side; see queries.py parity rules)."""
-    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+    float rounding match the Spark side; see queries.py parity rules).
+    Lazy oracles (the kg family — their construction materializes twin
+    corpora) are resolved here, at harness time, not at module import."""
+    out = {}
+    for name, q in REGISTRY.items():
+        sql = resolve_sql(q)
+        if sql is not None:
+            out[name] = sql
+    return out

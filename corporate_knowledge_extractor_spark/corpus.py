@@ -200,17 +200,32 @@ def generate_corpus_pandas(sf: float = 0.001, n_docs: int | None = None) -> pd.D
     return pd.DataFrame([generate_doc(i, nd, nr) for i in range(nd)])
 
 
+def _generator_version() -> str:
+    """Hash of this module's source — the twin-parquet cache key includes
+    it so editing the generator invalidates stale cached corpora instead
+    of silently desyncing the DuckDB oracle from the Spark corpus."""
+    import hashlib as _h
+    import os
+
+    with open(os.path.abspath(__file__), "rb") as f:
+        return _h.sha256(f.read()).hexdigest()[:12]
+
+
 def twin_corpus_parquet(sf: float) -> str:
     """Materialize the pandas-twin corpus as a parquet file and return its
-    path (cached across processes; atomic rename so concurrent callers
-    can't observe a half-written file). This is what lets DuckDB oracles
-    re-run the extraction rules over the *same bytes* the distributed
-    generator produces (byte-equality is itself asserted by
-    pipeline.verify_sha256 / tests/test_corpus.py)."""
+    path (cached across processes, keyed by (seed, sf, generator-code
+    hash); atomic rename so concurrent callers can't observe a
+    half-written file). This is what lets DuckDB oracles re-run the
+    extraction rules over the *same bytes* the distributed generator
+    produces (byte-equality is itself asserted by pipeline.verify_sha256 /
+    tests/test_corpus.py)."""
     import os
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"ckes_twin_seed{SEED}_sf{sf}.parquet")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ckes_twin_seed{SEED}_g{_generator_version()}_sf{sf}.parquet",
+    )
     if not os.path.exists(path):
         tmp = f"{path}.tmp-{os.getpid()}"
         generate_corpus_pandas(sf=sf).to_parquet(tmp, index=False)

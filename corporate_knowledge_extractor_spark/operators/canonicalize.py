@@ -7,12 +7,21 @@ transitive only through chains (`get_user_data` ~ `getuserdata` ~
 (BASELINE.json north_star).
 
 Implemented as driver-looped min-label propagation: each iteration is one
-shuffle-join round; `localCheckpoint()` truncates lineage every iteration
-(unbounded lineage is the classic iterative-Spark failure mode, SURVEY.md
-§7). Convergence is detected with a cheap changed-count aggregate and the
-loop is bounded by `max_iterations` with an assert — alias clusters are
-shallow (diameter ~2-4), so this converges in a handful of rounds even at
-10^12 scale.
+shuffle-join round. Materialization follows the repo-wide policy
+(materialize.py): every round's label table is an *eager serialized
+persist*, and the previous round's table is explicitly released right
+after the convergence count — the textbook iterative-Spark pattern. At
+10^12-vertex scale the per-round label tables are the largest objects in
+the job; localCheckpoint (the round-2 form) leaked every round's table
+until GC because clearCache() does not release checkpoint RDDs.
+Lineage is cut by a parquet round-trip every ``lineage_cut_every``
+rounds (persist alone does not truncate the logical plan — unbounded
+lineage is the classic iterative-Spark failure mode, SURVEY.md §7); the
+cut is crash-safe reliable storage, which is what a real cluster wants
+anyway. Convergence is detected with a cheap changed-count aggregate and
+the loop is bounded by `max_iterations` with an assert — alias clusters
+are shallow (diameter ~2-4), so this converges in a handful of rounds
+even at 10^12 scale and the cut rarely fires.
 
 Skew: a Zipf-headed alias graph has hub vertices whose full edge list
 hashes to ONE reducer in each round's plain equi-join (AQE's skew-split
@@ -31,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from corporate_knowledge_extractor_spark.config import CanonicalizeConfig
+from corporate_knowledge_extractor_spark.materialize import materialize, release
 from corporate_knowledge_extractor_spark.operators.skew import add_salt, explode_salt
 
 
@@ -67,10 +77,30 @@ def connected_components(
     cfg: CanonicalizeConfig = CanonicalizeConfig(),
     on_iteration=None,
     on_skew_stats=None,
+    lineage_cut_every: int = 6,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Returns (entity_id, component) with component = min entity_id of the
     component. ``on_iteration(i, changed)`` is the metrics hook — the
     pipeline records one convergence metric row per round (north_rule).
+
+    Storage contract: every intermediate (symmetrized edges, hot/cold
+    halves, each superseded round's labels) is released before return;
+    only the *returned* label table is left persisted, and
+    ``result.unpersist()`` / ``spark.catalog.clearCache()`` frees it —
+    asserted by tests/test_materialize.py.
+
+    Plan contract: the label recurrence references the previous labels
+    twice per round (union + join), so the logical plan DOUBLES per
+    iteration — with a lazy upstream chain (the kg extraction DAG) the
+    exponential re-analysis OOMs the *driver* within a handful of rounds
+    (persist caches blocks, not plans; localCheckpoint hid this in round
+    2 at the price of leaked RDDs). Both inputs are therefore cut to
+    parquet scans in ``scratch_dir`` once at entry — at 10^12 scale the
+    edge/vertex tables live on storage anyway — and the label lineage is
+    re-cut through parquet every ``lineage_cut_every`` rounds (the
+    GraphX/GraphFrames checkpointInterval pattern, reliable + crash-safe)
+    so deep graphs stay bounded too.
 
     ``on_skew_stats({"max_join_key_rows", "hot_keys", "edges"})``
     (optional, one extra aggregate job) records the worst per-join-key
@@ -79,33 +109,53 @@ def connected_components(
     measured once, not per round; a per-partition row count would be
     confounded by AQE's small-partition coalescing, which merges cold
     partitions without creating any hot one."""
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+    import tempfile
+
+    spark = vertices.sparkSession
+    scratch = (scratch_dir or tempfile.mkdtemp(prefix="ckg_cc_")).rstrip("/")
+
+    def _cut(df: DataFrame, name: str) -> DataFrame:
+        """Reliable lineage cut: parquet round-trip — the re-read plan is
+        a single scan, so per-round plan growth multiplies tiny trees."""
+        path = f"{scratch}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    sym = materialize(
+        _cut(
+            edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionByName(
+                edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            )
+            .distinct(),
+            "sym",
+        )
     )
-    sym = sym.localCheckpoint(eager=True)
 
     # static hot/cold split on src degree (the join key's fan-out); edges
     # never change across rounds, so the census and both halves are
     # computed exactly once
     degrees = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    hot_keys = (
-        degrees.where(F.col("_deg") >= cfg.hot_degree_threshold)
-        .select("src")
-        .localCheckpoint(eager=True)
+    hot_keys = materialize(
+        degrees.where(F.col("_deg") >= cfg.hot_degree_threshold).select("src")
     )
     n_hot = hot_keys.count()
     if n_hot == 0:
-        sym_cold, sym_hot, hot_keys = sym, None, None
+        sym_cold, sym_hot = sym, None
+        release(hot_keys)
+        hot_keys = None
     else:
-        sym_cold = sym.join(hot_keys, "src", "left_anti").localCheckpoint(eager=True)
+        sym_cold = materialize(sym.join(hot_keys, "src", "left_anti"))
         # salt from dst: uniform across a hub's edges (each edge has a
         # different far endpoint), deterministic (no rand())
-        sym_hot = add_salt(
-            sym.join(hot_keys, "src", "left_semi"), ["dst"], cfg.salt_buckets
-        ).localCheckpoint(eager=True)
+        sym_hot = materialize(
+            add_salt(sym.join(hot_keys, "src", "left_semi"), ["dst"], cfg.salt_buckets)
+        )
 
+    n_edges = sym.count()
+    if sym_cold is not sym:
+        # both halves are materialized; the full table is no longer scanned
+        release(sym)
     if on_skew_stats is not None:
         cold_loads = sym_cold.groupBy("src").agg(F.count(F.lit(1)).alias("_n"))
         loads = cold_loads
@@ -119,23 +169,29 @@ def connected_components(
             {
                 "max_join_key_rows": int(mx),
                 "hot_keys": int(n_hot),
-                "edges": sym.count(),
+                "edges": n_edges,
             }
         )
 
-    labels = vertices.select(
-        F.col("entity_id"), F.col("entity_id").alias("component")
-    ).localCheckpoint(eager=True)
+    labels = materialize(
+        _cut(
+            vertices.select(F.col("entity_id"), F.col("entity_id").alias("component")),
+            "labels0",
+        )
+    )
+
+    def _cleanup() -> None:
+        release(sym_hot, hot_keys)
+        release(sym_cold)  # == sym when there was no hot split
 
     for i in range(cfg.max_iterations):
         neighbor_labels = _neighbor_labels(
             sym_cold, sym_hot, labels, hot_keys, cfg.salt_buckets
         )
-        new_labels = (
+        new_labels = materialize(
             labels.unionByName(neighbor_labels)
             .groupBy("entity_id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             labels.alias("o")
@@ -143,11 +199,24 @@ def connected_components(
             .where(F.col("o.component") != F.col("n.component"))
             .count()
         )
+        # new_labels is fully materialized, so the previous round's table
+        # can be freed NOW — per-iteration, not end-of-job; this is the
+        # bound that keeps a long-lived session flat at 10^12 scale
+        release(labels)
         labels = new_labels
         if on_iteration is not None:
             on_iteration(i, changed)
         if changed == 0:
+            _cleanup()
             return labels
+        if lineage_cut_every and (i + 1) % lineage_cut_every == 0:
+            # deep graph: re-cut the doubling label lineage so analysis
+            # cost and recompute chains stay bounded (see plan contract)
+            cut = _cut(labels, f"labels_cut_{i + 1}")
+            release(labels)
+            labels = materialize(cut)
+    _cleanup()
+    release(labels)
     raise AssertionError(
         f"connected_components did not converge in {cfg.max_iterations} iterations"
     )

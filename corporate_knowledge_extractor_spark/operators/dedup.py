@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from corporate_knowledge_extractor_spark.config import LinkingConfig
+from corporate_knowledge_extractor_spark.materialize import materialize
 from corporate_knowledge_extractor_spark.operators.linking import (
     minhash_signature,
     shingle_col,
@@ -153,21 +154,20 @@ def minhash_lsh_pairs(
         if char_shingles
         else word_shingles(F.col("t"), cfg.shingle_size)
     )
-    base = (
+    base = materialize(
         spread(
             docs.select(
                 F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
             ),
             "id",
-        )
-        .select("id", sh.alias("sh"))
-        .localCheckpoint(eager=True)
+        ).select("id", sh.alias("sh"))
     )
     banded = lsh_band_keys(base, "id", F.col("sh"), cfg)
     # pairs feeds three downstream scans (cand_ids + both sides of the
     # verify join); materialize the slim (id_a, id_b) table once, eagerly
-    # (lazy persist would let concurrent scans race on uncached partitions)
-    pairs = candidate_id_pairs(banded, cfg).localCheckpoint(eager=True)
+    # (materialize.py policy: eager serialized persist, releasable via
+    # clearCache — unlike the localCheckpoint this replaced)
+    pairs = materialize(candidate_id_pairs(banded, cfg))
     # exact Jaccard only for *distinct candidate documents*, reusing the
     # materialized shingle arrays — candidates are orders of magnitude
     # fewer than pair occurrences
@@ -269,10 +269,9 @@ def simhash_pairs_from_sig(
             for j in range(n_chunks)
         ]
     )
-    banded = (
+    banded = materialize(
         d.withColumn("c", F.explode(chunks))
         .select(F.col("c.chunk_idx"), F.col("c.chunk"), "id", "sh")
-        .localCheckpoint(eager=True)
     )
     # hot-chunk cap: a cluster of identical documents shares all chunks;
     # unbounded blocks would go quadratic (same skew control as the

@@ -147,8 +147,10 @@ def candidate_id_pairs(banded: DataFrame, cfg: LinkingConfig = LinkingConfig()) 
     # banded is scanned twice (sizes + join); materialize the slim
     # (band_key, id) projection eagerly so the MinHash signature
     # computation runs exactly once and concurrent branches never race
-    # on uncached partitions
-    banded = banded.localCheckpoint(eager=True)
+    # on uncached partitions (materialize.py policy)
+    from corporate_knowledge_extractor_spark.materialize import materialize
+
+    banded = materialize(banded)
     sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bsz"))
     small = banded.join(
         sizes.where(F.col("_bsz") <= cfg.max_block_size), "band_key", "inner"

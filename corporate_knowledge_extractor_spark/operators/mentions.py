@@ -143,8 +143,12 @@ def mention_stage(
                 for t, i in rules.MENTION_TYPE_ORDER.items()
             ]
         )
+        # multiplier derived from the type table: any value strictly above
+        # every type_order keeps (line_no, type) keys collision-free even
+        # if new mention types are added
+        ord_span = max(rules.MENTION_TYPE_ORDER.values()) + 1
         m = dedup_vs_previous_kept(
-            m.withColumn("_ord", F.col("line_no") * 8 + type_order),
+            m.withColumn("_ord", F.col("line_no") * ord_span + type_order),
             DOC_KEY,
             "_ord",
             "surface",

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from corporate_knowledge_extractor_spark.materialize import materialize, release
+
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
@@ -99,7 +101,13 @@ def embedding_neardup_pairs(
     thresholds recovers most pairs split by a single hyperplane), exact
     cosine only on collided candidates. Hot buckets are capped like every
     other blocked self-join in this repo, so no reducer goes quadratic on
-    a dense embedding cluster."""
+    a dense embedding cluster.
+
+    The cap is *symmetric* (like simhash_pairs_from_sig): pair order is
+    normalized with least/greatest AFTER the join, so both members' probe
+    fans are tried — a pair with one member in a hot bucket is still
+    recoverable through the other member's (small) bucket in either
+    direction, independent of id ordering."""
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -113,24 +121,30 @@ def embedding_neardup_pairs(
         ]
     left = e.select(
         F.explode(F.array(*probes)).alias("_bucket"),
-        F.col("id").alias("id_a"),
-        F.col("v").alias("v_a"),
+        F.col("id").alias("id_l"),
+        F.col("v").alias("v_l"),
     )
-    right = e.select(
-        F.col("_b").alias("_bucket"),
-        F.col("id").alias("id_b"),
-        F.col("v").alias("v_b"),
-    ).localCheckpoint(eager=True)
+    right = materialize(
+        e.select(
+            F.col("_b").alias("_bucket"),
+            F.col("id").alias("id_r"),
+            F.col("v").alias("v_r"),
+        )
+    )
     sizes = right.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
     small = right.join(
         sizes.where(F.col("_n") <= max_block_size), "_bucket", "inner"
-    ).select("_bucket", "id_b", "v_b")
+    ).select("_bucket", "id_r", "v_r")
     return (
         left.join(small, "_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .where(F.col("id_l") != F.col("id_r"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("v_l"), F.col("v_r")), 4))
         .where(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            "cosine_sim",
+        )
         .distinct()
     )
 
@@ -189,28 +203,60 @@ def ivf_refine_centroids(
     return centroids
 
 
-def ivf_topk(
+class IVFIndex:
+    """A built IVF index: the trained coarse quantizer plus the corpus
+    assigned to inverted lists, materialized once.
+
+    ``assigned`` is the eagerly-persisted (id, vec, _cluster) table —
+    every `ivf_search` call joins against these in-memory blocks and
+    never re-scans (or re-trains on) the source corpus. On a real
+    cluster the build writes ``assigned`` as a table partitioned by
+    `_cluster` so searches get partition pruning on the probed lists;
+    `release()` frees the in-memory form."""
+
+    def __init__(self, centroids, assigned: DataFrame, id_col: str, vec_col: str):
+        self.centroids = centroids
+        self.assigned = assigned
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def release(self) -> None:
+        release(self.assigned)
+
+
+def ivf_build(
     embeddings: DataFrame,
-    queries: DataFrame,
     dim: int,
-    k: int = 10,
     n_centroids: int = 16,
-    nprobe: int = 2,
     lloyd_iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF approximate top-k: coarse-quantize the corpus once (argmax
-    cosine over k centroids, Lloyd-refined), then scan only each query's
-    `nprobe` nearest inverted lists. At 100 TB this scans nprobe/k of the
-    corpus per query with one equi-join — the alternative scale path to
-    the LSH buckets of ann_topk (IVF adapts to the data distribution;
-    LSH needs no training pass)."""
+) -> IVFIndex:
+    """Train the coarse quantizer (deterministic seeds + Lloyd) and
+    materialize the inverted-list assignment ONCE. This is the expensive
+    corpus-scanning half of IVF — the round-2 form re-ran it inside every
+    top-k call (3 full corpus scans per query batch at 100 TB); the
+    build/search split makes the index a real index."""
     cents = ivf_refine_centroids(
         embeddings, seed_centroids(dim, n_centroids), lloyd_iterations, vec_col
     )
-    e = ivf_assign(embeddings, cents, vec_col)
+    assigned = materialize(ivf_assign(embeddings, cents, vec_col))
+    return IVFIndex(cents, assigned, id_col, vec_col)
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k against a prebuilt IVFIndex: rank the (driver-
+    side, k x dim) centroids per query, broadcast the exploded
+    (query, probed cluster) pairs, equi-join the persisted inverted
+    lists. Scans nprobe/n_centroids of the *index*, zero of the corpus."""
+    cents = index.centroids
+    vec_col, id_col = index.vec_col, index.id_col
     cent_lit = [F.array(*[F.lit(v) for v in c]) for c in cents]
     probe_rank = F.array(
         *[
@@ -225,7 +271,7 @@ def ivf_topk(
             F.slice(F.reverse(F.array_sort(probe_rank)), 1, nprobe)
         ).alias("_p"),
     ).select(query_id_col, "_qvec", F.col("_p.c").alias("_cluster"))
-    scored = e.join(F.broadcast(q), "_cluster").withColumn(
+    scored = index.assigned.join(F.broadcast(q), "_cluster").withColumn(
         "cosine_sim", F.round(cosine(F.col(vec_col), F.col("_qvec")), 4)
     )
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
@@ -234,6 +280,27 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    lloyd_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """One-shot convenience: ivf_build + ivf_search. Callers issuing more
+    than one query batch should hold the IVFIndex and call ivf_search —
+    the index is the point (the alternative scale path to the LSH buckets
+    of ann_topk: IVF adapts to the data distribution; LSH needs no
+    training pass)."""
+    index = ivf_build(embeddings, dim, n_centroids, lloyd_iterations, id_col, vec_col)
+    return ivf_search(index, queries, k, nprobe, query_id_col)
 
 
 def ann_topk(

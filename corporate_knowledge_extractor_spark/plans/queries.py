@@ -34,11 +34,22 @@ from corporate_knowledge_extractor_spark.sources.sinks import load_testdata
 @dataclass(frozen=True)
 class Query:
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # DuckDB oracle; None -> rows-only check
+    # DuckDB oracle; None -> rows-only check. May be a zero-arg callable
+    # resolved at harness time (resolve_sql) — the kg-family oracles
+    # materialize twin-corpus parquet as a side effect, which must not
+    # run at module import (it cost multi-second generation per import
+    # and failed every registered query on an unwritable tempdir).
+    sql: str | Callable[[], str] | None
     doc: str = ""
 
 
 REGISTRY: dict[str, Query] = {}
+
+
+def resolve_sql(q: Query) -> str | None:
+    """Late-bind a query's oracle SQL (generating twin corpora only when
+    a harness actually asks for oracles)."""
+    return q.sql() if callable(q.sql) else q.sql
 
 
 def query(name: str, sql: str | None, doc: str = ""):
@@ -889,16 +900,18 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "kg_triples",
-    None,  # full DuckDB oracle registered below via _kg_sql()
+    None,  # full DuckDB oracle registered below via _kg_sql (lazy)
     doc="the KG pipeline's extraction stage on the synthetic corpus "
-    "(P/R gate in tests/test_pipeline.py + full DuckDB oracle _kg_sql)",
+    "(P/R gate in tests/test_pipeline.py + full DuckDB oracle _kg_sql); "
+    "the corpus scale follows sf_dir all the way to sf0.1, so the hash "
+    "gate covers the bench scale (tests/test_oracle_sf01.py)",
 )
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from corporate_knowledge_extractor_spark.corpus import generate_corpus
     from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
 
     sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
-    docs = generate_corpus(spark, sf=min(sf, 0.01))  # cap corpus for rows-only check
+    docs = generate_corpus(spark, sf=sf)
     return extract_triples(docs)
 
 
@@ -910,16 +923,22 @@ def _kg_sql() -> str:
     functions/rules.py and config.py, so this oracle and the Spark plan
     can only agree by computing the same thing.
 
-    The Spark side generates the corpus at sf0.001 (500 docs) or sf0.01
-    (5000 docs) depending on the harness scale; the oracle picks the
-    matching twin parquet by probing the registered `events` view's row
-    count (1000 at sf0.001, >= 10000 otherwise).
+    The Spark side generates the corpus at sf0.001 / sf0.01 / sf0.1
+    (500 / 5k / 50k docs) following the harness's sf_dir; the oracle picks
+    the matching twin parquet by probing the registered `events` view's
+    row count (1000 / 10000 / 100000 at the three scales — `documents` is
+    500 at BOTH sf0.001 and sf0.01, so it cannot key the probe). The probe
+    is the only sf channel available: the driver contract is a *static*
+    SQL string per query (`oracle_sql() -> dict[str, str]`), resolved once
+    before the harness picks a scale, so the scale cannot be templated in
+    — it must be inferred from the registered views at execution time.
     """
     from corporate_knowledge_extractor_spark.config import DEFAULT_CONFIG
     from corporate_knowledge_extractor_spark.corpus import twin_corpus_parquet
 
     p_small = twin_corpus_parquet(0.001)
     p_large = twin_corpus_parquet(0.01)
+    p_xl = twin_corpus_parquet(0.1)
     mcfg = DEFAULT_CONFIG.mentions
 
     junk_pred = " OR ".join(
@@ -963,7 +982,10 @@ def _kg_sql() -> str:
       WHERE (SELECT count(*) FROM events) < 5000
       UNION ALL
       SELECT repo, path, commit, content FROM read_parquet('{p_large}')
-      WHERE (SELECT count(*) FROM events) >= 5000
+      WHERE (SELECT count(*) FROM events) BETWEEN 5000 AND 49999
+      UNION ALL
+      SELECT repo, path, commit, content FROM read_parquet('{p_xl}')
+      WHERE (SELECT count(*) FROM events) >= 50000
     ), lines AS (
       SELECT repo, path, commit,
              unnest(range(len(ls))) AS line_no,
@@ -1071,7 +1093,7 @@ def cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
 
     sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
-    docs = generate_corpus(spark, sf=min(sf, 0.01))
+    docs = generate_corpus(spark, sf=sf)
     entities = linking.extract_entities(extract_triples(docs))
     keyed = entities.withColumn("k", F.regexp_replace("norm", "v2$", ""))
     # star edges: every alias connects to its key group's min-surface
@@ -1142,8 +1164,13 @@ def _alias_components(spark: SparkSession, sf_dir: str):
     from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
 
     sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
-    docs = generate_corpus(spark, sf=min(sf, 0.01))
-    triples = extract_triples(docs).localCheckpoint(eager=True)
+    docs = generate_corpus(spark, sf=sf)
+    # extract_triples persists its own fan-out point; triples itself feeds
+    # both the entity extraction and the edge rewrite -> one more eager
+    # serialized persist (materialize.py policy)
+    from corporate_knowledge_extractor_spark.materialize import materialize
+
+    triples = materialize(extract_triples(docs))
     entities = linking.extract_entities(triples)
     keyed = entities.withColumn("k", F.regexp_replace("norm", "v2$", ""))
     anchors = keyed.groupBy("k").agg(F.min_by("entity_id", "surface").alias("_anchor"))
@@ -1260,19 +1287,22 @@ def _category_score_sql_on(col: str, cat_keywords) -> str:
     )
 
 
+# lazy oracles (callables, resolved by resolve_sql at harness time): the
+# kg family materializes twin-corpus parquet when built, which must not
+# happen at module import
 REGISTRY["kg_triples"] = Query(
-    fn=kg_triples, sql=_kg_sql(), doc=REGISTRY["kg_triples"].doc
+    fn=kg_triples, sql=_kg_sql, doc=REGISTRY["kg_triples"].doc
 )
 
 REGISTRY["cc_canonical"] = Query(
-    fn=cc_canonical, sql=_cc_canonical_sql(), doc=REGISTRY["cc_canonical"].doc
+    fn=cc_canonical, sql=_cc_canonical_sql, doc=REGISTRY["cc_canonical"].doc
 )
 
 REGISTRY["graph_nodes"] = Query(
-    fn=graph_nodes, sql=_graph_nodes_sql(), doc=REGISTRY["graph_nodes"].doc
+    fn=graph_nodes, sql=_graph_nodes_sql, doc=REGISTRY["graph_nodes"].doc
 )
 REGISTRY["graph_edges"] = Query(
-    fn=graph_edges, sql=_graph_edges_sql(), doc=REGISTRY["graph_edges"].doc
+    fn=graph_edges, sql=_graph_edges_sql, doc=REGISTRY["graph_edges"].doc
 )
 
 
@@ -1290,13 +1320,14 @@ def linking_score_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from corporate_knowledge_extractor_spark.operators import linking
     from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
 
+    from corporate_knowledge_extractor_spark.materialize import materialize
+
     sf = 0.001 if "0.001" in sf_dir else (0.01 if "0.01" in sf_dir else 0.1)
-    docs = generate_corpus(spark, sf=min(sf, 0.01))
-    ents = (
+    docs = generate_corpus(spark, sf=sf)
+    ents = materialize(
         linking.extract_entities(extract_triples(docs))
         .select("surface", "norm")
         .withColumn("_blk", F.substring("norm", 1, 4))
-        .localCheckpoint(eager=True)
     )
     sizes = ents.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
     small = ents.join(sizes.where(F.col("_n") <= 200), "_blk").select(
@@ -1356,7 +1387,7 @@ def _linking_score_sql() -> str:
 
 REGISTRY["linking_score_parity"] = Query(
     fn=linking_score_parity,
-    sql=_linking_score_sql(),
+    sql=_linking_score_sql,
     doc=REGISTRY["linking_score_parity"].doc,
 )
 
@@ -1472,25 +1503,30 @@ def _embedding_neardup_sql(
     )
     probe_list = ", ".join(["b"] + [f"xor(b, {1 << p})" for p in range(num_planes)])
     cos = (
-        "list_dot_product(l.v_a, r.v_b) / "
-        "(sqrt(list_dot_product(l.v_a, l.v_a)) * "
-        "sqrt(list_dot_product(r.v_b, r.v_b)))"
+        "list_dot_product(l.v_l, r.v_r) / "
+        "(sqrt(list_dot_product(l.v_l, l.v_l)) * "
+        "sqrt(list_dot_product(r.v_r, r.v_r)))"
     )
+    # symmetric hot-bucket cap (same as the Spark side): pair order is
+    # normalized with least/greatest AFTER the join so both members'
+    # probe fans are tried regardless of id ordering
     return f"""
     WITH e AS (
       SELECT vec_id, embedding, {bucket_terms} AS b FROM embeddings
     ), sizes AS (
       SELECT b, count(*) AS n FROM e GROUP BY b
     ), rs AS (
-      SELECT e.b AS bucket, e.vec_id AS id_b, e.embedding AS v_b
+      SELECT e.b AS bucket, e.vec_id AS id_r, e.embedding AS v_r
       FROM e JOIN sizes USING (b) WHERE sizes.n <= {max_block_size}
     ), ls AS (
-      SELECT unnest([{probe_list}]) AS bucket, vec_id AS id_a, embedding AS v_a
+      SELECT unnest([{probe_list}]) AS bucket, vec_id AS id_l, embedding AS v_l
       FROM e
     )
-    SELECT DISTINCT id_a, id_b, round({cos}, 4) AS cosine_sim
+    SELECT DISTINCT least(l.id_l, r.id_r) AS id_a,
+           greatest(l.id_l, r.id_r) AS id_b,
+           round({cos}, 4) AS cosine_sim
     FROM ls l JOIN rs r USING (bucket)
-    WHERE l.id_a < r.id_b AND round({cos}, 4) >= {threshold}
+    WHERE l.id_l <> r.id_r AND round({cos}, 4) >= {threshold}
     """
 
 
@@ -1504,11 +1540,13 @@ REGISTRY["embedding_neardup"] = Query(
 @query(
     "embedding_ivf",
     None,
-    doc="IVF approximate top-k (coarse k-means quantizer + nprobe "
-    "inverted-list scan, operators/similarity.py) — rows-only: the Lloyd "
-    "refinement averages floats across engines in different orders, so a "
-    "hash-identical SQL twin is not honest; recall vs brute force is "
-    "asserted in tests/test_dedup_similarity.py instead",
+    doc="IVF approximate top-k (ivf_build: coarse k-means quantizer + "
+    "persisted inverted lists; ivf_search: nprobe list scan — "
+    "operators/similarity.py) — rows-only: the Lloyd refinement averages "
+    "floats across engines in different orders, so a hash-identical SQL "
+    "twin is not honest; recall vs brute force is asserted in "
+    "tests/test_dedup_similarity.py and the deterministic assign+probe "
+    "stage is hash-checked cross-engine by ivf_assign_parity",
 )
 def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -1516,6 +1554,76 @@ def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return similarity.ivf_topk(e, q, dim=64, k=5, n_centroids=8, nprobe=3)
+
+
+@query(
+    "ivf_assign_parity",
+    None,  # SQL registered below via _ivf_assign_sql()
+    doc="the deterministic half of IVF cross-engine: per-vector centroid "
+    "ranking (assignment = rank 1, probe list = rank <= nprobe) against "
+    "the literal seed centroids — everything in embedding_ivf except the "
+    "Lloyd float-averaging is hash-checked here, shrinking the unoracled "
+    "surface to exactly the xxhash64 fast paths + Lloyd",
+)
+def ivf_assign_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cents = similarity.seed_centroids(64, 8)
+    cent_lit = [F.array(*[F.lit(v) for v in c]) for c in cents]
+    scored = F.array(
+        *[
+            F.struct(
+                similarity.cosine(F.col("embedding"), cent_lit[i]).alias("s"),
+                F.lit(i).alias("c"),
+            )
+            for i in range(len(cents))
+        ]
+    )
+    sel = F.slice(F.reverse(F.array_sort(scored)), 1, 3)
+    return (
+        e.select("vec_id", F.posexplode(sel).alias("pos", "p"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("p.c").alias("cluster"),
+            F.round(F.col("p.s"), 4).alias("cosine_sim"),
+        )
+    )
+
+
+def _ivf_assign_sql(dim: int = 64, n_centroids: int = 8, nprobe: int = 3) -> str:
+    cents = similarity.seed_centroids(dim, n_centroids)
+    values = ", ".join(
+        f"({i}, CAST({c!r} AS DOUBLE[]))" for i, c in enumerate(cents)
+    )
+    cos = (
+        "list_dot_product(e.embedding, c.cent) / "
+        "(sqrt(list_dot_product(e.embedding, e.embedding)) * "
+        "sqrt(list_dot_product(c.cent, c.cent)))"
+    )
+    # tie-break mirrors Spark's reverse(array_sort(struct(s, c))):
+    # descending (s, c) lexicographic -> equal scores break to the LARGER
+    # cluster index first
+    return f"""
+    WITH cents(cluster, cent) AS (VALUES {values}),
+    scored AS (
+      SELECT e.vec_id, c.cluster, {cos} AS cos
+      FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cluster DESC) AS INT) AS rank,
+           cluster,
+           round(cos, 4) AS cosine_sim
+    FROM scored
+    QUALIFY rank <= {nprobe}
+    """
+
+
+REGISTRY["ivf_assign_parity"] = Query(
+    fn=ivf_assign_parity,
+    sql=_ivf_assign_sql(),
+    doc=REGISTRY["ivf_assign_parity"].doc,
+)
 
 
 # =====================================================================

@@ -30,37 +30,18 @@ class PRResult:
         return 2 * self.precision * self.recall / (self.precision + self.recall)
 
 
-def precision_recall(
-    pipeline_triples: DataFrame,
-    oracle: pd.DataFrame,
-    keys: tuple[str, ...] = ("subj", "pred", "obj", "category"),
-) -> PRResult:
-    got = {
-        tuple(r) for r in pipeline_triples.select(*keys).distinct().collect()
-    }
-    want = {tuple(r) for r in oracle[list(keys)].drop_duplicates().itertuples(index=False)}
-    matched = len(got & want)
-    return PRResult(
-        precision=matched / len(got) if got else 0.0,
-        recall=matched / len(want) if want else 0.0,
-        n_pipeline=len(got),
-        n_oracle=len(want),
-        n_matched=matched,
-    )
-
-
 def precision_recall_distributed(
     pipeline_triples: DataFrame,
     reference_triples: DataFrame,
     keys: tuple[str, ...] = ("subj", "pred", "obj", "category"),
 ) -> PRResult:
-    """Join-based P/R: never collects either triple set to the driver.
-
-    `precision_recall` above materializes the full distinct set driver-side
-    — fine at the sf0.01 gate, a driver OOM at sf >= 1. This variant keeps
-    everything as three distributed counts (distinct sizes + inner-join
-    size), so it runs at any corpus scale; use it when the reference side
-    is itself a DataFrame (e.g. a previous run's triples table)."""
+    """Join-based P/R — the ONLY production path: never collects either
+    triple set to the driver, so it runs at any corpus scale (three
+    distributed counts: distinct sizes + inner-join size). The round-2
+    driver-collect variant is demoted to a test helper
+    (tests/parity_util.py collect_precision_recall), kept solely to
+    assert this form agrees with literal set arithmetic at sf0.01
+    (tests/test_pr_sf001.py::test_pr_distributed_matches_collect)."""
     got = pipeline_triples.select(*keys).distinct()
     want = reference_triples.select(*list(keys)).distinct()
     n_got = got.count()
@@ -73,3 +54,17 @@ def precision_recall_distributed(
         n_oracle=n_want,
         n_matched=n_matched,
     )
+
+
+def precision_recall(
+    pipeline_triples: DataFrame,
+    oracle: pd.DataFrame,
+    keys: tuple[str, ...] = ("subj", "pred", "obj", "category"),
+) -> PRResult:
+    """P/R against the pandas oracle, via the distributed form: the
+    oracle frame (bounded — it is the *expected* triple set, generated
+    driver-side by plans/oracle.py in the first place) is lifted into a
+    DataFrame and everything else stays distributed."""
+    spark = pipeline_triples.sparkSession
+    want = spark.createDataFrame(oracle[list(keys)].drop_duplicates())
+    return precision_recall_distributed(pipeline_triples, want, keys)

@@ -170,6 +170,40 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(exact & approx) >= 8
 
 
+def test_ivf_build_search_split_never_rescans_corpus(spark, tmp_path):
+    """The index contract: ivf_build scans/trains on the corpus once;
+    every subsequent ivf_search touches only the persisted inverted
+    lists. Proven on a parquet-backed corpus — the search plan must show
+    an in-memory scan and must NOT contain a parquet scan of the corpus
+    (a re-scan or re-train would)."""
+    import random
+
+    rng = random.Random(17)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(400)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "emb"))
+    emb = spark.read.parquet(str(tmp_path / "emb"))
+
+    index = similarity.ivf_build(emb, dim=dim, n_centroids=8)
+    # behavioral proof: once built, the source corpus is GONE — any
+    # re-scan (or re-train) during search would hit FileNotFound; the
+    # persisted inverted lists must serve every search by themselves
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "emb"))
+    q = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(3)], "query_id long, embedding array<float>"
+    )
+    first = similarity.ivf_search(index, q, k=5, nprobe=3)
+    second = similarity.ivf_search(index, q, k=5, nprobe=3)
+    assert first.count() == second.count() == 15
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    index.release()
+
+
 def test_lang_id_and_quality(spark):
     rows = [
         (0, "the cat and the dog of the house", "en"),

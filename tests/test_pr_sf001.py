@@ -38,16 +38,21 @@ def test_pr_gate_sf001(spark, sf001):
 
 
 def test_pr_distributed_matches_collect(spark, sf001):
-    """The no-collect P/R (the sf>=1 path) must agree exactly with the
-    driver-side set arithmetic on the same inputs."""
+    """The no-collect P/R (now the ONLY production path) must agree
+    exactly with literal driver-side set arithmetic on the same inputs —
+    the certification that let the collect variant be demoted to the
+    test helper used here."""
+    from parity_util import collect_precision_recall
+
     docs, triples, docs_pdf = sf001
+    keys = ("subj", "pred", "obj", "category")
     want = oracle_triples(docs_pdf)
-    base = precision_recall(triples, want)
+    n_got, n_want, n_matched = collect_precision_recall(triples, want, keys)
     dist = precision_recall_distributed(
-        triples, spark.createDataFrame(want[["subj", "pred", "obj", "category"]])
+        triples, spark.createDataFrame(want[list(keys)]), keys
     )
     assert (dist.n_pipeline, dist.n_oracle, dist.n_matched) == (
-        base.n_pipeline, base.n_oracle, base.n_matched,
+        n_got, n_want, n_matched,
     )
 
 

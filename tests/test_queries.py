@@ -4,7 +4,6 @@ the same comparison the driver runs at sf0.01."""
 
 from __future__ import annotations
 
-import math
 
 import duckdb
 import pytest
@@ -27,26 +26,7 @@ def ddb():
     con.close()
 
 
-def _canon(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        r = round(v, 4)
-        if r == int(r):
-            return str(int(r))
-        return f"{r:.4f}".rstrip("0")
-    if isinstance(v, int):
-        return str(v)
-    return str(v)
-
-
-def _rows_to_multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+from parity_util import rows_to_multiset as _rows_to_multiset  # noqa: E402
 
 
 ORACLE = entry_mod.oracle_sql()
