@@ -221,6 +221,11 @@ def run_scaling_cluster(
     real cluster' means. Both pairs are reported in BENCH/BASELINE.md."""
     import subprocess
 
+    if len(levels) != 2:
+        # fail BEFORE the expensive subprocess runs: the efficiency math
+        # below unpacks exactly two levels
+        raise ValueError(f"levels must be exactly (lo, hi), got {levels!r}")
+
     results = {}
     for n_exec in levels:
         if results:
@@ -261,6 +266,137 @@ def run_scaling_cluster(
             "triples": n,
             f"tps_exec{lo}": round(n / t_lo, 1),
             f"tps_exec{hi}": round(n / t_hi, 1),
+            f"runs_exec{lo}": results[lo]["runs"],
+            f"runs_exec{hi}": results[hi]["runs"],
+        },
+    }
+    print(json.dumps(out))
+    return out
+
+
+def run_pipeline_stages_level(
+    n_exec: int, cores: int, mem_mb: int, n_docs: int, reps: int
+) -> dict:
+    """One executor-count level of the STAGED pipeline (docs -> ... ->
+    edges, checkpointed stage writes + lineage/metrics tables): per-stage
+    wall seconds and output rows, best-of-reps. This is the
+    stage-resolution twin of run_kg_scaling_level_cluster — the round-2
+    persist fix was found by ad-hoc stage decomposition; recording the
+    decomposition per level makes the next regression localizable from
+    metrics instead of re-instrumentation."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from corporate_knowledge_extractor_spark.plans.pipeline import Pipeline
+    from corporate_knowledge_extractor_spark.session import get_spark
+    from corporate_knowledge_extractor_spark.sources.sinks import read_table
+
+    spark = get_spark(
+        app_name=f"ckg-stages-exec{n_exec}",
+        master=f"local-cluster[{n_exec},{cores},{mem_mb}]",
+        shuffle_partitions=n_exec * cores * 2,
+        extra_conf={"spark.executor.memory": f"{mem_mb - 1024}m"},
+    )
+    # warm executor JVMs / codegen on a tiny staged run (distinct plan
+    # shapes vs the extract-only scaling job)
+    Pipeline(spark, tempfile.mkdtemp(prefix="ckg_stwarm_")).run(
+        sf=2000 / 500_000, resume=False
+    )
+    spark.catalog.clearCache()
+
+    runs = []
+    for _ in range(reps):
+        base = tempfile.mkdtemp(prefix="ckg_stages_")
+        s0 = _steal_jiffies()
+        r = Pipeline(spark, base).run(sf=n_docs / 500_000, resume=False)
+        steal = _steal_jiffies() - s0
+        rows = {
+            row["stage"]: int(row["rows"])
+            for row in read_table(spark, f"{base}/lineage")
+            .groupBy("stage")
+            .agg(F.sum("output_rows").alias("rows"))
+            .collect()
+        }
+        runs.append(
+            {
+                "stage_seconds": {k: round(v, 2) for k, v in r.stage_seconds.items()},
+                "stage_rows": rows,
+                "steal_jiffies": steal,
+            }
+        )
+        spark.catalog.clearCache()
+    spark.stop()
+    stages = list(runs[0]["stage_seconds"])
+    best = {
+        s: min(rep["stage_seconds"][s] for rep in runs) for s in stages
+    }
+    return {
+        "executors": n_exec,
+        "cores": cores,
+        "best_stage_seconds": best,
+        "total_best_sec": round(sum(best.values()), 2),
+        "stage_rows": runs[0]["stage_rows"],
+        "runs": runs,
+    }
+
+
+def run_scaling_stages(
+    n_docs: int = 100_000,
+    reps: int = 2,
+    levels: tuple = (1, 4),
+    cores: int = 2,
+    mem_mb: int = 8192,
+) -> dict:
+    """Per-stage N-vs-4N executor scaling of the full staged Pipeline
+    (fresh local-cluster per level via subprocess, same protocol as
+    run_scaling_cluster). Emits per-stage wall at both levels plus the
+    per-stage speedup/efficiency, so a future scaling regression points
+    at its stage directly."""
+    import subprocess
+
+    if len(levels) != 2:
+        raise ValueError(f"levels must be exactly (lo, hi), got {levels!r}")
+
+    results = {}
+    for n_exec in levels:
+        if results:
+            time.sleep(20)  # let the previous level's executor JVMs exit
+        cmd = [sys.executable, os.path.abspath(__file__), "--stage-level-cluster",
+               str(n_exec), str(cores), str(mem_mb), str(n_docs), str(reps)]
+        p = subprocess.run(cmd, capture_output=True, text=True)
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-4000:])
+            raise RuntimeError(f"stage scaling level {n_exec} failed")
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        results[n_exec] = json.loads(line)
+        sys.stderr.write(f"stage level {n_exec}: {line}\n")
+
+    lo, hi = levels
+    blo, bhi = results[lo]["best_stage_seconds"], results[hi]["best_stage_seconds"]
+    per_stage = {
+        s: {
+            f"t_exec{lo}_sec": blo[s],
+            f"t_exec{hi}_sec": bhi[s],
+            "speedup": round(blo[s] / bhi[s], 3) if bhi[s] > 0 else None,
+            "efficiency": round(blo[s] / bhi[s] / (hi / lo), 3) if bhi[s] > 0 else None,
+        }
+        for s in blo
+    }
+    t_lo = results[lo]["total_best_sec"]
+    t_hi = results[hi]["total_best_sec"]
+    out = {
+        "metric": f"stage_scaling_exec_{lo}_to_{hi}",
+        "value": round(t_lo / t_hi / (hi / lo), 4),
+        "unit": "ratio",
+        "queries": {f"t_exec{lo}_sec": t_lo, f"t_exec{hi}_sec": t_hi},
+        "sf": n_docs / 500_000,
+        "extra": {
+            "job": "staged_pipeline_e2e",
+            "mode": f"local-cluster[N,{cores},{mem_mb}]",
+            "n_docs": n_docs,
+            "per_stage": per_stage,
+            "stage_rows": results[hi]["stage_rows"],
             f"runs_exec{lo}": results[lo]["runs"],
             f"runs_exec{hi}": results[hi]["runs"],
         },
@@ -320,6 +456,14 @@ def run_scaling(n_docs: int = 500_000, reps: int = 3, levels: tuple = (2, 8)) ->
 if __name__ == "__main__":
     if "--scaling-cluster" in sys.argv:
         run_scaling_cluster()
+    elif "--scaling-stages" in sys.argv:
+        run_scaling_stages()
+    elif "--stage-level-cluster" in sys.argv:
+        i = sys.argv.index("--stage-level-cluster")
+        print(json.dumps(run_pipeline_stages_level(
+            int(sys.argv[i + 1]), int(sys.argv[i + 2]), int(sys.argv[i + 3]),
+            int(sys.argv[i + 4]), int(sys.argv[i + 5])
+        )))
     elif "--scale-level-cluster" in sys.argv:
         i = sys.argv.index("--scale-level-cluster")
         print(json.dumps(run_kg_scaling_level_cluster(

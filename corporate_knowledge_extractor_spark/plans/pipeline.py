@@ -32,7 +32,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from corporate_knowledge_extractor_spark.config import DEFAULT_CONFIG, EngineConfig
+from corporate_knowledge_extractor_spark.config import (
+    DEFAULT_CONFIG,
+    PROFILES,
+    EngineConfig,
+    Profile,
+)
 from corporate_knowledge_extractor_spark.corpus import generate_corpus
 from corporate_knowledge_extractor_spark.operators import canonicalize as cc
 from corporate_knowledge_extractor_spark.operators import linking
@@ -48,9 +53,22 @@ from corporate_knowledge_extractor_spark.operators.synthesize import synthesize_
 from corporate_knowledge_extractor_spark.sources.sinks import table_exists, read_table, write_table
 
 
+def _resolve_profile(profile: str | Profile | None) -> Profile | None:
+    if profile is None:
+        return None
+    return PROFILES[profile] if isinstance(profile, str) else profile
+
+
 def extract_triples(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
-                    persist: bool = True) -> DataFrame:
+                    persist: bool = True,
+                    profile: str | Profile | None = None) -> DataFrame:
     """The extraction slice (docs -> triples) as one lazy chain.
+
+    ``profile`` selects a named (backend, anonymize) pair from
+    config.PROFILES — the reference's profiles.yaml surface: "sensitive"
+    routes synthesis through the batched backend seam with redaction on,
+    "fast" keeps native synthesis and compiles the redaction pass out of
+    the plan entirely (tests/test_presets.py asserts both behaviors).
 
     For callers that don't checkpoint stage tables (entry smoke, bench,
     the kg_triples query) the mention fan-out point is persisted
@@ -75,6 +93,11 @@ def extract_triples(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     `aligned` stage); an unused array<string> column would ride through
     the persist and both downstream scans for free.
     """
+    prof = _resolve_profile(profile)
+    if prof is not None:
+        cfg = prof.engine_config(cfg)
+    synth = prof.synthesizer() if prof is not None else synthesize_triples
+
     blocked = junk_block_filter(assign_blocks(split_lines(docs)))
     # blocked is consumed exactly once now that detect_mentions is a fused
     # single-scan rule bank — no checkpoint needed; the whole
@@ -85,11 +108,10 @@ def extract_triples(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
         cfg.redaction,
     )
     if persist:
-        from pyspark import StorageLevel
+        from corporate_knowledge_extractor_spark.materialize import materialize
 
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
-        mentions.count()
-    return post_process(synthesize_triples(mentions))
+        mentions = materialize(mentions)
+    return post_process(synth(mentions))
 
 
 @dataclass
@@ -109,10 +131,16 @@ class Pipeline:
         base_dir: str,
         cfg: EngineConfig = DEFAULT_CONFIG,
         run_id: str | None = None,
+        profile: str | Profile | None = None,
     ):
         self.spark = spark
         self.base_dir = base_dir.rstrip("/")
-        self.cfg = cfg
+        self.profile = _resolve_profile(profile)
+        # the profile's redaction choice applies wherever cfg.redaction is
+        # read (the mentions stage); its backend choice applies at the
+        # triples stage below — one named unit, like the reference's
+        # --profile flag selecting a profiles.yaml row at run time
+        self.cfg = self.profile.engine_config(cfg) if self.profile else cfg
         self.run_id = run_id or uuid.uuid4().hex[:12]
 
     # -- bookkeeping ------------------------------------------------------
@@ -250,9 +278,10 @@ class Pipeline:
         if done("aligned"):
             return result
 
+        synth = self.profile.synthesizer() if self.profile else synthesize_triples
         triples = self._stage(
             "triples",
-            lambda: post_process(synthesize_triples(mentions)),
+            lambda: post_process(synth(mentions)),
             result,
             resume,
         )

@@ -146,3 +146,46 @@ def incremental_triples(spark, docs_path: str, done_keys: DataFrame):
 
     stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(docs_path)
     return stream.join(done_keys, ["repo", "path", "commit"], "left_anti")
+
+
+def incremental_triples_stream(
+    spark,
+    docs_path: str,
+    done_keys: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+):
+    """The full streaming ingest front door, chained end-to-end: an
+    at-least-once doc source (rows carry an ingest ``ts``) flows through
+    exactly-once dedup (`dedup_stream` on the doc key, state bounded by
+    the watermark), skips already-processed keys (the incremental
+    anti-join), and each surviving micro-batch runs the batch extraction
+    slice via ``foreachBatch`` into an append-only triples sink —
+    extraction is per-document, so micro-batch boundaries cannot change
+    the result (asserted equal to the batch pipeline on the deduped set
+    in tests/test_streaming.py). Returns the started StreamingQuery
+    (AvailableNow: drains what exists, then stops — the resumable-ingest
+    trigger a scheduled 10^12-file backfill uses)."""
+    from corporate_knowledge_extractor_spark.corpus import CORPUS_SCHEMA
+
+    schema = CORPUS_SCHEMA + ", ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(docs_path)
+    deduped = dedup_stream(
+        stream, key_cols=("repo", "path", "commit"), watermark=watermark
+    )
+    fresh = deduped.join(done_keys, ["repo", "path", "commit"], "left_anti")
+
+    def _process(batch_df, _batch_id):
+        from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
+
+        extract_triples(batch_df.drop("ts"), persist=False).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        fresh.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -25,10 +25,10 @@ from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    docs = generate_corpus(spark, sf=0.001).localCheckpoint(eager=True)
-    blocked = junk_block_filter(assign_blocks(split_lines(docs))).localCheckpoint(
-        eager=True
-    )
+    from corporate_knowledge_extractor_spark.materialize import materialize
+
+    docs = materialize(generate_corpus(spark, sf=0.001))
+    blocked = materialize(junk_block_filter(assign_blocks(split_lines(docs))))
     return docs, blocked, docs.count()
 
 
@@ -54,6 +54,46 @@ def test_presets_are_distinct(spark, corpus):
     }
     assert len(set(counts.values())) == len(counts), counts
     assert counts["sparse_scan"] < counts["walkthrough"] < counts["dense_code"]
+
+
+def test_profiles_redaction_and_backend(spark, corpus, tmp_path):
+    """Profiles (config/profiles.yaml analogue): the sensitive profile
+    must actually redact the mention surfaces AND route synthesis through
+    the batched backend; the fast profile must skip the redaction pass
+    (raw PII survives). Checked on the staged Pipeline's mentions table,
+    where the maintainer-comment person mentions carry the emails."""
+    from pyspark.sql import functions as F
+
+    from corporate_knowledge_extractor_spark.plans.pipeline import Pipeline
+
+    docs, _, _ = corpus
+
+    def mentions_with(profile, sub):
+        p = Pipeline(spark, str(tmp_path / profile), profile=profile)
+        r = p.run(docs=docs, stop_after="mentions")
+        m = r.tables["mentions"]
+        return m.where(F.col("surface").contains(sub)).count()
+
+    assert mentions_with("sensitive", "@example.com") == 0
+    assert mentions_with("sensitive", "[EMAIL]") > 0
+    assert mentions_with("fast", "@example.com") > 0
+    assert mentions_with("fast", "[EMAIL]") == 0
+
+
+def test_profile_backends_agree_on_triples(spark, corpus):
+    """The sensitive profile's batched backend must emit the exact same
+    triple set as the default native path — the interchangeability
+    contract that keeps every profile under the same P/R gate."""
+    docs, _, _ = corpus
+    native = {
+        tuple(r)
+        for r in extract_triples(docs, persist=False).collect()
+    }
+    batched = {
+        tuple(r)
+        for r in extract_triples(docs, persist=False, profile="sensitive").collect()
+    }
+    assert native == batched
 
 
 def test_sampler_is_noop_at_one(spark, corpus):

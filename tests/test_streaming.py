@@ -80,6 +80,61 @@ def test_adaptive_mode_state_machine(spark, events_schema, tmp_path):
     assert all(r.events_per_minute >= 0 for r in rows)
 
 
+def test_streaming_dedup_into_incremental_triples(spark, tmp_path):
+    """The chained ingest front door: an at-least-once doc stream (every
+    doc delivered twice, within the watermark) -> exactly-once dedup ->
+    skip already-done keys -> per-micro-batch triple extraction. The
+    emitted triple set must equal the batch pipeline run on the deduped,
+    not-yet-done document set — micro-batching and re-delivery must be
+    invisible."""
+    from corporate_knowledge_extractor_spark.corpus import generate_corpus
+    from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
+    from corporate_knowledge_extractor_spark.streaming.events import (
+        incremental_triples_stream,
+    )
+
+    docs = generate_corpus(spark, n_docs=150).withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    dup_dir = str(tmp_path / "docs_stream")
+    # at-least-once delivery: second copy arrives 1 minute later, well
+    # inside the 10-minute dedup watermark
+    redelivered = docs.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+    docs.unionByName(redelivered).repartition(4).write.parquet(dup_dir)
+
+    # 40 docs were already processed in a previous run
+    done = (
+        spark.read.parquet(dup_dir)
+        .select("repo", "path", "commit")
+        .distinct()
+        .orderBy("repo", "path")
+        .limit(40)
+    )
+    done.write.parquet(str(tmp_path / "done"))
+    done_keys = spark.read.parquet(str(tmp_path / "done"))
+
+    out = str(tmp_path / "triples_out")
+    q = incremental_triples_stream(
+        spark, dup_dir, done_keys, out, str(tmp_path / "ckpt_inc")
+    )
+    q.awaitTermination(300)
+
+    batch_docs = (
+        spark.read.parquet(dup_dir)
+        .drop("ts")
+        .dropDuplicates(["repo", "path", "commit"])
+        .join(done_keys, ["repo", "path", "commit"], "left_anti")
+    )
+    want = {tuple(r) for r in extract_triples(batch_docs, persist=False).collect()}
+    got_df = spark.read.parquet(out).select(
+        *extract_triples(batch_docs, persist=False).columns
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert len(got) == got_df.count(), "streaming sink emitted duplicates"
+    assert got == want
+    assert len(want) > 500  # ~110 docs x ~18 triples/doc
+
+
 def test_dedup_stream_matches_batch(spark, events_schema, tmp_path):
     """Exactly-once ingest guard: re-delivered rows (same user_id/event_id)
     must be dropped by the streaming dedup, and the surviving set must
