@@ -19,11 +19,29 @@ Reference semantics (/root/reference/src/align/aligner.py:4-110), exactly:
   5. no candidates -> fall back to the closest frame's text
      (aligner.py:77-78).
 
-Spark form: everything is per-document, so both the candidate theta-join
-and the two argmax windows run under one hash partitioning on the doc key
-— no global shuffle, no skew beyond the largest single document. At
-10^12-doc scale this stays a within-partition join exactly like the
-per-doc stages of the KG pipeline (SURVEY.md §2.3 J1 notes).
+Spark form — built for the stage that dominates the pipeline wall
+(round-3 stage decomposition: 59% of the staged run at 400k docs under
+the previous theta-join form):
+
+  * the closest-frame lookup is an **as-of join on a sorted union
+    stream**: frames (reduced to one min-index representative per
+    timestamp — the strict-< scan keeps the lowest index among equal
+    timestamps) and segment probes are unioned, sorted once per doc, and
+    the nearest frame on each side of ``seg.start`` is propagated with
+    running ``last()`` windows. O((|segs|+|frames|) log ·) per doc
+    instead of the |segs| x |frames| theta-join (previously ~550
+    intermediate rows per doc, ~220M at 400k docs);
+  * the candidate window is an **equi-join on (doc, frame index)** after
+    exploding the 2*window+1 candidate indices — bounded fan-out, never
+    a scan of the doc's full frame list;
+  * word arrays (speech words, content words, tag word-splits) are
+    computed **once per segment/frame row** and carried through the
+    joins — the previous form re-ran the regex splits per candidate
+    pair, 2*window+1 times each.
+
+Everything is per-document, so the sort, both windows, and the candidate
+equi-join run under one hash partitioning on the doc key — no global
+shuffle, no skew beyond the largest single document (SURVEY.md §2.3 J1).
 """
 
 from __future__ import annotations
@@ -63,6 +81,15 @@ def align_segments_to_frames(
     # frame index per doc by timestamp order (the reference's list index)
     w_doc = W.partitionBy(*DOC).orderBy("f_ts")
     f = f.withColumn("f_idx", F.row_number().over(w_doc) - 1)
+    # per-frame word prep, computed once and carried through the candidate
+    # join (not re-split per candidate pair)
+    f = f.withColumn("f_words", _content_words(F.col("f_text"), stop_words)).withColumn(
+        "f_tag_words",
+        F.transform(
+            F.coalesce(F.col("f_tags"), F.array()),
+            lambda t: F.split(F.lower(t), r"\s+"),
+        ),
+    )
 
     s = segments.select(
         *DOC,
@@ -71,56 +98,123 @@ def align_segments_to_frames(
         F.col("end").alias("s_end"),
         F.col("text").alias("speech"),
     )
+    s = s.withColumn(
+        "speech_words_all", F.array_distinct(F.split(F.lower(F.col("speech")), r"\s+"))
+    ).withColumn("s_words", _content_words(F.col("speech"), stop_words))
 
-    # step 1: closest eligible frame (ts <= start + tol_before), ties ->
-    # lowest index (strict-< scan parity)
-    elig = s.join(f, DOC).where(F.col("f_ts") <= F.col("s_start") + cfg.tolerance_before)
-    w_closest = W.partitionBy(*DOC, "seg_id").orderBy(
-        F.abs(F.col("f_ts") - F.col("s_start")), F.col("f_idx")
+    # ---- step 1: closest eligible frame, as an as-of join --------------
+    # one representative frame per (doc, ts): the strict-< scan keeps the
+    # LOWEST index among equal-timestamp frames
+    f_repr = f.groupBy(*DOC, "f_ts").agg(
+        F.min("f_idx").alias("r_idx"), F.min_by("f_text", "f_idx").alias("r_text")
     )
-    closest = (
-        elig.withColumn("_rn", F.row_number().over(w_closest))
-        .where(F.col("_rn") == 1)
-        .select(*DOC, "seg_id", F.col("f_idx").alias("closest_idx"),
-                F.col("f_text").alias("closest_text"))
+    seg_id_type = dict(s.dtypes)["seg_id"]
+    ev_f = f_repr.select(
+        *DOC,
+        F.col("f_ts").alias("ev_ts"),
+        F.lit(0).alias("kind"),
+        F.col("r_idx"),
+        F.col("f_ts").alias("r_ts"),
+        F.col("r_text"),
+        F.lit(None).cast(seg_id_type).alias("seg_id"),
+    )
+    ev_s = s.select(
+        *DOC,
+        F.col("s_start").alias("ev_ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("int").alias("r_idx"),
+        F.lit(None).cast("double").alias("r_ts"),
+        F.lit(None).cast("string").alias("r_text"),
+        F.col("seg_id"),
+    )
+    ev = ev_f.unionByName(ev_s)
+
+    # backward: nearest frame with ts <= s_start (frames sort BEFORE the
+    # probe at equal ts: kind 0 < 1, matching eligibility ts <= start)
+    w_bwd = (
+        W.partitionBy(*DOC)
+        .orderBy("ev_ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # forward: nearest frame with ts > s_start (desc order; at equal ts
+    # the probe sorts first, so the same-ts frame stays on the backward
+    # side only)
+    w_fwd = (
+        W.partitionBy(*DOC)
+        .orderBy(F.desc("ev_ts"), F.desc("kind"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    probes = (
+        ev.withColumn("b_idx", F.last("r_idx", ignorenulls=True).over(w_bwd))
+        .withColumn("b_ts", F.last("r_ts", ignorenulls=True).over(w_bwd))
+        .withColumn("b_text", F.last("r_text", ignorenulls=True).over(w_bwd))
+        .withColumn("a_idx", F.last("r_idx", ignorenulls=True).over(w_fwd))
+        .withColumn("a_ts", F.last("r_ts", ignorenulls=True).over(w_fwd))
+        .withColumn("a_text", F.last("r_text", ignorenulls=True).over(w_fwd))
+        .where(F.col("kind") == 1)
+    )
+    b_valid = F.col("b_ts").isNotNull()  # ts <= start is always eligible
+    a_valid = F.col("a_ts").isNotNull() & (
+        F.col("a_ts") <= F.col("ev_ts") + cfg.tolerance_before
+    )
+    # equal |diff| ties go to the lower index = the backward frame (frame
+    # indices are timestamp-ordered), matching the reference's first-wins
+    pick_b = b_valid & (
+        ~a_valid
+        | ((F.col("ev_ts") - F.col("b_ts")) <= (F.col("a_ts") - F.col("ev_ts")))
+    )
+    closest = probes.select(
+        *DOC,
+        "seg_id",
+        F.when(pick_b, F.col("b_idx"))
+        .when(a_valid, F.col("a_idx"))
+        .alias("closest_idx"),
+        F.when(pick_b, F.col("b_text"))
+        .when(a_valid, F.col("a_text"))
+        .alias("closest_text"),
     )
     # segments with no eligible frame: the reference defaults closest_idx=0
     # (aligner.py:42-43 initial value survives when no frame qualifies)
     first_frame = f.where(F.col("f_idx") == 0).select(
         *DOC, F.col("f_idx").alias("closest_idx"), F.col("f_text").alias("closest_text")
     )
-    no_match = s.join(closest.select(*DOC, "seg_id"), [*DOC, "seg_id"], "left_anti")
-    closest = closest.unionByName(
-        no_match.select(*DOC, "seg_id").join(first_frame, DOC)
-    )
+    matched = closest.where(F.col("closest_idx").isNotNull())
+    no_match = closest.where(F.col("closest_idx").isNull()).select(*DOC, "seg_id")
+    closest_all = matched.unionByName(no_match.join(first_frame, DOC))
 
-    # step 2: candidate window of +-window indices, bounded by end tolerance
-    base = s.join(closest, [*DOC, "seg_id"])
+    # ---- step 2: candidate window as a bounded equi-join ---------------
+    base = s.join(closest_all, [*DOC, "seg_id"])
     cand = (
-        base.join(f, DOC)
-        .where(
-            (F.abs(F.col("f_idx") - F.col("closest_idx")) <= cfg.window)
-            & (F.col("f_ts") <= F.col("s_end") + cfg.tolerance_after)
+        base.withColumn(
+            "f_idx",
+            F.explode(
+                F.sequence(
+                    F.col("closest_idx") - cfg.window,
+                    F.col("closest_idx") + cfg.window,
+                )
+            ),
         )
+        .join(
+            f.select(*DOC, "f_idx", "f_ts", "f_text", "f_words", "f_tag_words"),
+            [*DOC, "f_idx"],
+        )
+        .where(F.col("f_ts") <= F.col("s_end") + cfg.tolerance_after)
     )
 
-    # step 3: the blended score
-    speech_words = F.array_distinct(F.split(F.lower(F.col("speech")), r"\s+"))
+    # ---- step 3: the blended score (arrays precomputed upstream) -------
     tag_hits = F.size(
         F.filter(
-            F.coalesce(F.col("f_tags"), F.array()),
-            lambda t: F.arrays_overlap(F.split(F.lower(t), r"\s+"), speech_words),
+            F.col("f_tag_words"),
+            lambda tw: F.arrays_overlap(tw, F.col("speech_words_all")),
         )
     )
-    n_tags = F.size(F.coalesce(F.col("f_tags"), F.array()))
+    n_tags = F.size(F.col("f_tag_words"))
     tag_sim = F.when(n_tags > 0, tag_hits / n_tags).otherwise(F.lit(0.0))
 
-    words_speech = _content_words(F.col("speech"), stop_words)
-    words_frame = _content_words(F.col("f_text"), stop_words)
-    overlap = F.size(F.array_intersect(words_speech, words_frame))
+    overlap = F.size(F.array_intersect(F.col("s_words"), F.col("f_words")))
     text_sim = F.when(
-        (F.size(words_speech) > 0) & (F.size(words_frame) > 0),
-        overlap / F.size(words_speech),
+        (F.size(F.col("s_words")) > 0) & (F.size(F.col("f_words")) > 0),
+        overlap / F.size(F.col("s_words")),
     ).otherwise(F.lit(0.0))
 
     ts_score = 1.0 / (1.0 + F.abs(F.col("f_ts") - F.col("s_start")) / cfg.timestamp_divisor)
@@ -128,7 +222,7 @@ def align_segments_to_frames(
         cfg.weight_tags * tag_sim + cfg.weight_text * text_sim + cfg.weight_timestamp * ts_score
     )
 
-    # step 4: argmax, first candidate (lowest index) on ties
+    # ---- step 4: argmax, first candidate (lowest index) on ties --------
     w_best = W.partitionBy(*DOC, "seg_id").orderBy(F.desc("_score"), F.col("f_idx"))
     best = (
         cand.withColumn("_score", score)
@@ -137,7 +231,7 @@ def align_segments_to_frames(
         .select(*DOC, "seg_id", F.col("f_text").alias("best_text"))
     )
 
-    # step 5: fallback to closest frame's text when no candidate survived
+    # ---- step 5: fallback to closest frame's text ----------------------
     out = (
         base.join(best, [*DOC, "seg_id"], "left")
         .withColumn("slide_text", F.coalesce("best_text", "closest_text"))
