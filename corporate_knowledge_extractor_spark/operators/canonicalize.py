@@ -184,14 +184,22 @@ def connected_components(
         release(sym_hot, hot_keys)
         release(sym_cold)  # == sym when there was no hot split
 
+    from pyspark import StorageLevel
+
     for i in range(cfg.max_iterations):
         neighbor_labels = _neighbor_labels(
             sym_cold, sym_hot, labels, hot_keys, cfg.salt_buckets
         )
-        new_labels = materialize(
+        # lazy persist, NOT materialize(): the convergence count below is
+        # the sole immediate consumer, so it populates every partition
+        # itself — one action per round instead of two. The eager rule
+        # exists for CONCURRENT first consumers (materialize.py); a
+        # sequential sole consumer cannot race.
+        new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("entity_id")
             .agg(F.min("component").alias("component"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
             labels.alias("o")
