@@ -30,6 +30,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# per-query repetitions for the headline loop (best-of-N). The sandbox
+# host shows intermittent CPU-steal spikes (BENCH/BASELINE.md); a
+# single-shot per-query timing cannot distinguish host contamination
+# from a real regression — round 3's unexplained minhash_neardup
+# "1.8x regression" was exactly this blind spot. Per-rep steal jiffies
+# are recorded under extra.per_query_runs, same protocol as the
+# scaling harness.
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 # headline queries: one per operator family, the most load-bearing variants
 HEADLINE = [
@@ -84,12 +92,19 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dict
             spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    per_query_runs: dict[str, list[dict]] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        t0 = time.time()
-        _force(q.fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()  # release per-query persists
+        runs = []
+        for _ in range(BENCH_REPS):
+            s0 = _steal_jiffies()
+            t0 = time.time()
+            _force(q.fn(spark, sf_dir))
+            sec = round(time.time() - t0, 3)
+            runs.append({"sec": sec, "steal_jiffies": _steal_jiffies() - s0})
+            spark.catalog.clearCache()  # release per-query persists
+        per_query_runs[name] = runs
+        timings[name] = min(r["sec"] for r in runs)
 
     # flagship: KG pipeline triples/sec at corpus scale matching sf
     from corporate_knowledge_extractor_spark.corpus import generate_corpus
@@ -101,11 +116,18 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dict
     extract_triples(generate_corpus(spark, n_docs=2000)).count()
     spark.catalog.clearCache()
 
-    t0 = time.time()
-    docs = generate_corpus(spark, sf=sf)
-    triples = extract_triples(docs)
-    n_triples = triples.count()
-    kg_sec = round(time.time() - t0, 3)
+    kg_runs = []
+    for _ in range(BENCH_REPS):
+        s0 = _steal_jiffies()
+        t0 = time.time()
+        docs = generate_corpus(spark, sf=sf)
+        triples = extract_triples(docs)
+        n_triples = triples.count()
+        sec = round(time.time() - t0, 3)
+        kg_runs.append({"sec": sec, "steal_jiffies": _steal_jiffies() - s0})
+        spark.catalog.clearCache()
+    per_query_runs["kg_triples_e2e"] = kg_runs
+    kg_sec = min(r["sec"] for r in kg_runs)
     timings["kg_triples_e2e"] = kg_sec
 
     total = round(sum(timings.values()), 3)
@@ -119,6 +141,8 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR, emit: bool = True) -> dict
             "cpus": cpus,
             "kg_triples": n_triples,
             "kg_triples_per_sec": round(n_triples / kg_sec, 1),
+            "reps": BENCH_REPS,
+            "per_query_runs": per_query_runs,
         },
     }
     if emit:
@@ -401,6 +425,17 @@ def run_scaling_stages(
             f"runs_exec{hi}": results[hi]["runs"],
         },
     }
+    # scaling history: every run appends its per-stage efficiencies to a
+    # durable log next to the other bench evidence, so a regression is a
+    # one-line diff against the previous entry instead of a re-run
+    hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(hist_dir, exist_ok=True)
+    with open(os.path.join(hist_dir, "stage_scaling_history.jsonl"), "a") as f:
+        f.write(json.dumps({
+            "levels": list(levels), "n_docs": n_docs,
+            "per_stage": per_stage,
+            "totals": {f"t_exec{lo}_sec": t_lo, f"t_exec{hi}_sec": t_hi},
+        }) + "\n")
     print(json.dumps(out))
     return out
 

@@ -147,6 +147,13 @@ class Preset:
     description: str
     config: EngineConfig
     envelope: OutputEnvelope
+    # audio_only.yaml:8-11 `frames: enabled: false` analogue: when False
+    # the Pipeline compiles the mention ("frame") and alignment stages
+    # OUT of the plan and takes the reference's early-exit path
+    # (scripts/run.py:52-74): transcript-only processing, anonymization
+    # still applied to the transcript (audio_only.yaml notes), report
+    # built from segments alone
+    frames_enabled: bool = True
 
 
 # ---------------------------------------------------------------------
@@ -218,11 +225,27 @@ PROFILES: dict[str, Profile] = {
         model="rules-native-v1",
         anonymize=True,
     ),
-    # profiles.yaml:13-16 `fast` — here the speed axis also drops the
-    # redaction pass (the one plan stage a trusted-content run can skip)
+    # profiles.yaml:13-16 `fast: llm gemini, model gemini-flash,
+    # anonymize true` — the reference keeps redaction ON in every profile
+    # (all three rows say `anonymize: true`); fast-ness comes from the
+    # backend/model choice alone. Mirrored exactly: native synthesis is
+    # this engine's fastest backend, redaction stays in the plan.
     "fast": Profile(
         name="fast",
-        description="native JVM synthesis, redaction pass skipped",
+        description="fastest backend (native JVM synthesis) + full redaction",
+        backend="native",
+        model="rules-native-fast-v1",
+        anonymize=True,
+    ),
+    # NOT a reference profile — an extension (documented in COVERAGE.md):
+    # the one plan stage trusted-content runs can legitimately skip is
+    # redaction, and compiling it out (identity redact_expr) is a plan
+    # change no reference profile expresses. Kept as its own named row so
+    # `fast` stays contract-faithful.
+    "trusted": Profile(
+        name="trusted",
+        description="native JVM synthesis, redaction pass compiled out "
+        "(extension beyond profiles.yaml for trusted corpora)",
         backend="native",
         model="rules-native-v1",
         anonymize=False,
@@ -275,6 +298,25 @@ PRESETS: dict[str, Preset] = {
         envelope=OutputEnvelope(
             mentions_per_doc=(4.0, 12.0), triples_per_doc=(4.0, 12.0)
         ),
+    ),
+    # audio_only.yaml: frames disabled entirely; run.py:52-74 early-exits
+    # past OCR/tagging/alignment and processes the transcript alone. The
+    # code-domain analogue is a prose corpus (meeting notes, docs) where
+    # line-level mention scanning is meaningless: segment it, redact it,
+    # report it — and genuinely never build the mention/alignment stages
+    # (tests/test_presets.py asserts the stages are absent from the plan).
+    "prose_only": Preset(
+        name="prose_only",
+        description="no mention scanning, transcript-only path "
+        "(audio_only.yaml analogue)",
+        config=EngineConfig(),
+        # envelope is over *segments* per doc for this preset (there are
+        # no mentions by construction — the early-exit path never counts
+        # them); the synthetic corpus yields ~4-9 blocks per document
+        envelope=OutputEnvelope(
+            mentions_per_doc=(0.0, 0.0), triples_per_doc=(0.0, 0.0)
+        ),
+        frames_enabled=False,
     ),
     # hybrid.yaml:8-52: mixed-mode thresholds between the two extremes
     "hybrid": Preset(

@@ -19,7 +19,18 @@ round-2 investigation, BENCH/BASELINE.md stage decomposition):
   (deserialized=False), spills instead of evicting, and releases fully
   via `unpersist()`/`clearCache()`.
 
-Tradeoff owned here: persist does NOT truncate lineage the way
+Tradeoff owned here (measured both directions): serialized blocks pay a
+per-scan deserialization that localCheckpoint's deserialized blocks did
+not. Round 3's headline bench appeared to show that cost as a 1.8-3x
+regression on minhash_neardup / dedup_exact_clusters; the round-4
+steal-instrumented re-measurement (BENCH_r04, per-query /proc/stat
+steal recorded) read 3.5s / 0.35s on the same code — at or below the
+pre-switch times, so the apparent regression was host CPU steal, and
+the deserialization cost of the serialized form is below measurement
+noise for these fan-outs. The other direction (leaks, block size,
+release-ability) is documented above.
+
+Second trade owned here: persist does NOT truncate lineage the way
 localCheckpoint did. For the shallow iteration counts this engine runs
 (alias-graph CC converges in a handful of rounds) the plan growth is
 negligible; iterative callers that can run deep cut lineage explicitly

@@ -102,6 +102,14 @@ def connected_components(
     GraphX/GraphFrames checkpointInterval pattern, reliable + crash-safe)
     so deep graphs stay bounded too.
 
+    Scratch lifecycle: at convergence the labels are consolidated into
+    ``scratch/labels_final`` (the returned frame's only on-disk
+    dependency) and every other scratch table (sym, labels0, round cuts)
+    is deleted immediately; when no ``scratch_dir`` was supplied the
+    remaining dir is also removed at interpreter exit. Callers that pass
+    a ``scratch_dir`` own labels_final's lifetime (delete it once the
+    returned frame is released or written out).
+
     ``on_skew_stats({"max_join_key_rows", "hot_keys", "edges"})``
     (optional, one extra aggregate job) records the worst per-join-key
     reducer load *after* the hot/cold split — the skew evidence. The
@@ -109,10 +117,26 @@ def connected_components(
     measured once, not per round; a per-partition row count would be
     confounded by AQE's small-partition coalescing, which merges cold
     partitions without creating any hot one."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     spark = vertices.sparkSession
     scratch = (scratch_dir or tempfile.mkdtemp(prefix="ckg_cc_")).rstrip("/")
+    if scratch_dir is None:
+        # caller gave no scratch home: own the cleanup. The dir cannot be
+        # deleted eagerly (the returned labels' recompute lineage reads
+        # labels_final below), so everything except labels_final is
+        # scrubbed at convergence and the rest goes at interpreter exit —
+        # repeated runs in a long-lived session leave one small (V x 2
+        # cols) parquet each, never the O(E) sym/per-round tables.
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+
+    def _scrub_scratch(keep: str | None) -> None:
+        for name in os.listdir(scratch):
+            if name != keep:
+                shutil.rmtree(os.path.join(scratch, name), ignore_errors=True)
 
     def _cut(df: DataFrame, name: str) -> DataFrame:
         """Reliable lineage cut: parquet round-trip — the re-read plan is
@@ -185,28 +209,47 @@ def connected_components(
         release(sym_cold)  # == sym when there was no hot split
 
     from pyspark import StorageLevel
+    from pyspark.sql import Observation
 
     for i in range(cfg.max_iterations):
         neighbor_labels = _neighbor_labels(
             sym_cold, sym_hot, labels, hot_keys, cfg.salt_buckets
         )
-        # lazy persist, NOT materialize(): the convergence count below is
-        # the sole immediate consumer, so it populates every partition
-        # itself — one action per round instead of two. The eager rule
-        # exists for CONCURRENT first consumers (materialize.py); a
-        # sequential sole consumer cannot race.
+        # Convergence is FUSED into the propagation aggregate: the old
+        # label rides the union as `_old` (each entity has exactly one
+        # labels row, so min(_old) recovers it), and the changed count is
+        # an `observe` metric collected by the same action that populates
+        # the persist — one job per round, no labels-vs-new_labels join
+        # (the join was a whole extra shuffle+sort per round; at tiny
+        # per-round data the job/stage *count* is the cost that made the
+        # components stage anti-scale with executor count, round-3
+        # stage-scaling evidence).
+        # The persist stays lazy, NOT materialize(): the count below is
+        # the sole immediate consumer and populates every partition
+        # itself; the eager rule exists for CONCURRENT first consumers.
+        obs = Observation()
+        comp_type = dict(labels.dtypes)["component"]
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.withColumn("_old", F.col("component"))
+            .unionByName(
+                neighbor_labels.withColumn("_old", F.lit(None).cast(comp_type))
+            )
             .groupBy("entity_id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_old"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("entity_id", "component")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "entity_id")
-            .where(F.col("o.component") != F.col("n.component"))
-            .count()
-        )
+        new_labels.count()
+        changed = int(obs.get["changed"] or 0)
         # new_labels is fully materialized, so the previous round's table
         # can be freed NOW — per-iteration, not end-of-job; this is the
         # bound that keeps a long-lived session flat at 10^12 scale
@@ -216,7 +259,16 @@ def connected_components(
             on_iteration(i, changed)
         if changed == 0:
             _cleanup()
-            return labels
+            # consolidate: cut the converged labels to ONE parquet table
+            # (the durable output form a real cluster wants anyway) so
+            # the sym/labels0/labels_cut_* scratch that the persisted
+            # labels' recompute lineage pointed at can be deleted NOW —
+            # the unbounded temp-disk growth across repeated runs goes
+            # away, bounded by the single small labels_final per run
+            final = materialize(_cut(labels, "labels_final"))
+            release(labels)
+            _scrub_scratch(keep="labels_final")
+            return final
         if lineage_cut_every and (i + 1) % lineage_cut_every == 0:
             # deep graph: re-cut the doubling label lineage so analysis
             # cost and recompute chains stay bounded (see plan contract)
@@ -225,6 +277,7 @@ def connected_components(
             labels = materialize(cut)
     _cleanup()
     release(labels)
+    _scrub_scratch(keep=None)
     raise AssertionError(
         f"connected_components did not converge in {cfg.max_iterations} iterations"
     )

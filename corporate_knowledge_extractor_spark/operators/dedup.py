@@ -133,6 +133,7 @@ def minhash_lsh_pairs(
     cfg: LinkingConfig = DOC_DEDUP_CFG,
     threshold: float = 0.6,
     char_shingles: bool = False,
+    hash_fn=shingle_hashes,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs over word n-gram shingles of the
     normalized text — the scale path: candidate generation is linear in
@@ -143,7 +144,11 @@ def minhash_lsh_pairs(
     and reused by both the banding pass and the exact-verify join —
     re-deriving it for verify doubled the dominant cost of the whole job.
     ``char_shingles=True`` switches to character k-shingles (for short
-    strings like entity surfaces, where word grams are degenerate)."""
+    strings like entity surfaces, where word grams are degenerate).
+    ``hash_fn`` selects the per-shingle hash family: the xxhash64 fast
+    path (default) or linking.shingle_hashes_neutral for cross-engine
+    certification — both verified to emit the same final pair set
+    (tests/test_dedup_similarity.py)."""
     from corporate_knowledge_extractor_spark.operators.linking import (
         candidate_id_pairs,
         lsh_band_keys,
@@ -162,7 +167,7 @@ def minhash_lsh_pairs(
             "id",
         ).select("id", sh.alias("sh"))
     )
-    banded = lsh_band_keys(base, "id", F.col("sh"), cfg)
+    banded = lsh_band_keys(base, "id", F.col("sh"), cfg, hash_fn=hash_fn)
     # pairs feeds three downstream scans (cand_ids + both sides of the
     # verify join); materialize the slim (id_a, id_b) table once, eagerly
     # (materialize.py policy: eager serialized persist, releasable via

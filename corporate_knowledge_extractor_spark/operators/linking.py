@@ -100,11 +100,30 @@ def shingle_hashes(shingles: F.Column) -> F.Column:
     return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
 
 
+def shingle_hashes_neutral(shingles: F.Column) -> F.Column:
+    """Engine-neutral twin of `shingle_hashes`: md5-hex prefix -> int,
+    reduced to the same 31-bit domain. Slower than xxhash64 (string
+    hashing + base conversion) but reproducible in ANY engine — the
+    certification path: minhash_parity proves the min-over-hash
+    construction against DuckDB with this hash family, and
+    tests/test_dedup_similarity.py proves the xxhash64 fast path emits
+    the SAME near-dup pairs as this path end-to-end (candidates differ
+    only in LSH banding randomness; the exact-Jaccard verify makes the
+    surviving pair set hash-independent whenever banding recall holds)."""
+    return F.transform(
+        shingles,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_P)
+        ),
+    )
+
+
 def lsh_band_keys(
     items: DataFrame,
     id_col: str,
     shingles: F.Column,
     cfg: LinkingConfig = LinkingConfig(),
+    hash_fn=shingle_hashes,
 ) -> DataFrame:
     """(band_key, id) — one row per band per item, *ids only*.
 
@@ -117,7 +136,7 @@ def lsh_band_keys(
     rows_per_band = cfg.num_hashes // cfg.num_bands
     df = (
         items.withColumn("_sh", shingles)
-        .withColumn("_h", shingle_hashes(F.col("_sh")))
+        .withColumn("_h", hash_fn(F.col("_sh")))
         .withColumn("_sig", minhash_signature(F.col("_h"), cfg))
     )
     bands = F.array(

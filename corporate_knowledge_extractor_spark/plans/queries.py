@@ -932,6 +932,12 @@ def _kg_sql() -> str:
     SQL string per query (`oracle_sql() -> dict[str, str]`), resolved once
     before the harness picks a scale, so the scale cannot be templated in
     — it must be inferred from the registered views at execution time.
+
+    First-call cost: resolving this SQL materializes twin parquet for all
+    three scales (they must all exist at resolution time, for the same
+    static-string reason), so even an sf0.001 run pays the sf0.1 twin's
+    ~6s pandas generation once; subsequent resolutions hit the
+    (seed, sf, generator-code-hash) parquet cache in the tempdir.
     """
     from corporate_knowledge_extractor_spark.config import DEFAULT_CONFIG
     from corporate_knowledge_extractor_spark.corpus import twin_corpus_parquet

@@ -65,6 +65,17 @@ def precision_recall(
     oracle frame (bounded — it is the *expected* triple set, generated
     driver-side by plans/oracle.py in the first place) is lifted into a
     DataFrame and everything else stays distributed."""
+    if len(oracle) == 0:
+        # createDataFrame cannot infer a schema from an empty pandas
+        # frame; an empty oracle means nothing was expected — precision
+        # and recall are both 0 by the conventions above
+        return PRResult(
+            precision=0.0,
+            recall=0.0,
+            n_pipeline=pipeline_triples.select(*keys).distinct().count(),
+            n_oracle=0,
+            n_matched=0,
+        )
     spark = pipeline_triples.sparkSession
     want = spark.createDataFrame(oracle[list(keys)].drop_duplicates())
     return precision_recall_distributed(pipeline_triples, want, keys)

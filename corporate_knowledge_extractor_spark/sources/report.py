@@ -72,6 +72,54 @@ def write_report(
     return meta
 
 
+def write_transcript_report(out_dir: str, segments: DataFrame,
+                            created: str = "1970-01-01T00:00:00Z") -> dict:
+    """Audio-only-mode output (reference scripts/run.py:61-69 +
+    audio_only.yaml expected_output): the report is built from the
+    transcript segments alone — no slides/mentions exist by construction.
+    JSONL = the segments themselves (distributed write); markdown = a
+    small collected summary; metadata = counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    segments.select(
+        "repo", "path", "commit", "block_id", "start", "end", "text"
+    ).write.mode("overwrite").json(os.path.join(out_dir, "transcript.jsonl"))
+
+    n_docs = segments.select("repo", "path", "commit").distinct().count()
+    n_segs = segments.count()
+    meta = {
+        "created": created,
+        "mode": "transcript_only",
+        "documents_count": n_docs,
+        "segments_count": n_segs,
+    }
+    with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+    longest = (
+        segments.withColumn("_len", F.length("text"))
+        .orderBy(F.desc("_len"), "repo", "path", "block_id")
+        .select("repo", "path", "block_id", "_len")
+        .limit(10)
+        .collect()
+    )
+    lines = [
+        "# Transcript report",
+        "",
+        f"- documents: {n_docs}",
+        f"- segments: {n_segs}",
+        "",
+        "## Longest segments",
+        "",
+    ]
+    lines += [
+        f"- `{r.repo}/{r.path}` block {r.block_id} ({r._len} chars)"
+        for r in longest
+    ]
+    with open(os.path.join(out_dir, "report.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return meta
+
+
 def load_report(spark: SparkSession, out_dir: str) -> dict:
     """S11: read a report dir back for verification
     (compare_reports.py:37-99 analogue)."""

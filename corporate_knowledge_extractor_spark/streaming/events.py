@@ -161,7 +161,9 @@ def incremental_triples_stream(
     exactly-once dedup (`dedup_stream` on the doc key, state bounded by
     the watermark), skips already-processed keys (the incremental
     anti-join), and each surviving micro-batch runs the batch extraction
-    slice via ``foreachBatch`` into an append-only triples sink —
+    slice via ``foreachBatch`` into an idempotent batch-id-partitioned
+    triples sink (``write_triples_batch``: a crash-retried batch
+    overwrites its own partition instead of re-appending) —
     extraction is per-document, so micro-batch boundaries cannot change
     the result (asserted equal to the batch pipeline on the deduped set
     in tests/test_streaming.py). Returns the started StreamingQuery
@@ -176,16 +178,39 @@ def incremental_triples_stream(
     )
     fresh = deduped.join(done_keys, ["repo", "path", "commit"], "left_anti")
 
-    def _process(batch_df, _batch_id):
-        from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
-
-        extract_triples(batch_df.drop("ts"), persist=False).write.mode(
-            "append"
-        ).parquet(out_path)
+    def _process(batch_df, batch_id):
+        write_triples_batch(batch_df.drop("ts"), batch_id, out_path)
 
     return (
         fresh.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def write_triples_batch(batch_docs: DataFrame, batch_id: int, out_path: str) -> None:
+    """Idempotent per-micro-batch triples sink for ``foreachBatch``.
+
+    ``foreachBatch`` is at-least-once: if the job dies after the write
+    but before the checkpoint commit, the SAME batch (same id, same
+    rows — the source offsets were committed before the batch ran) is
+    re-executed on restart. A blind append would re-append its triples.
+    Writing into a ``_batch_id``-keyed partition with *dynamic* partition
+    overwrite makes the retry replace its own previous output instead:
+    exactly-once output from an at-least-once executor — the standard
+    idempotent-sink form for non-transactional stores. (A transactional
+    sink — Iceberg/Delta with the batch id recorded in the commit — is
+    the cluster-grade variant; parquet is what the sandbox has.)
+    Retry-idempotence is asserted in tests/test_streaming.py by running
+    the same (batch, id) through twice."""
+    from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
+
+    (
+        extract_triples(batch_docs, persist=False)
+        .withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_path)
     )

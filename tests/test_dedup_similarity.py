@@ -235,3 +235,89 @@ def test_fingerprint_stable_under_whitespace(spark):
         for r in docs.select(textstats.fingerprint(F.col("text")).alias("fp")).collect()
     ]
     assert fps[0] == fps[1]
+
+
+def test_minhash_fast_path_pairs_equal_neutral_and_bruteforce(spark):
+    """Round-3 verdict task 5: the xxhash64 fast path is rows-only under
+    the DuckDB oracle, and minhash_parity only certifies the signature
+    *construction*. This closes the remaining gap at the PAIR level on
+    the real sf0.01 corpus: the fast path, the engine-neutral md5-hash
+    path, and the definitional brute force (every pair with word-3-gram
+    Jaccard >= 0.6) must produce the identical final pair set —
+    candidate generation may differ per hash family, but the exact
+    verify makes the output hash-independent as long as LSH recall
+    holds, and here it is proven to hold exactly."""
+    from corporate_knowledge_extractor_spark.operators.linking import (
+        shingle_hashes_neutral,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.6).collect()
+    }
+    spark.catalog.clearCache()
+    neutral = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.6, hash_fn=shingle_hashes_neutral
+        ).collect()
+    }
+    spark.catalog.clearCache()
+
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        dedup.word_shingles(F.col("text"), 3).alias("sh"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    brute = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= 0.6)
+        .collect()
+    }
+    assert len(fast) > 0
+    assert fast == neutral, "pair set depends on the shingle hash family"
+    assert fast == brute, "LSH missed (or invented) a qualifying pair"
+
+
+def test_simhash_fast_path_pairs_equal_bruteforce(spark):
+    """The simhash pair-level twin: chunk-blocked candidate generation on
+    the sf0.01 corpus must equal the definitional brute force (bit_count
+    of XOR <= max_hamming over ALL pairs of the same signatures). Cap
+    disabled on both sides so the blocking construction itself is what is
+    certified (the hot-chunk cap's recall trade is covered by
+    test_simhash_pigeonhole_guarantee)."""
+    from corporate_knowledge_extractor_spark.materialize import materialize
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = dedup.spread(
+        docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t")), "id"
+    )
+    sig = materialize(d.select("id", dedup.simhash64(F.col("t")).alias("sh")))
+    fast = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs_from_sig(
+            sig, max_hamming=6, max_block_size=1_000_000
+        ).collect()
+    }
+    a = sig.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= 6)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert len(fast) > 0
+    assert fast == brute

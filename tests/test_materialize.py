@@ -82,6 +82,28 @@ def test_cc_deep_graph_lineage_cut(spark):
     assert _stored_rdds(spark) == []
 
 
+def test_cc_scrubs_scratch_to_labels_final(spark, tmp_path):
+    """Temp-disk twin of the RDD-storage gate: a CC run may leave exactly
+    one scratch table (labels_final — the returned frame's lineage cut)
+    on disk; the O(E) sym table, labels0, and any round cuts must be gone
+    at return. Unbounded scratch growth across repeated runs in a
+    long-lived session was the round-3 ADVICE finding."""
+    import os
+
+    v, e = _zipf_graph(spark, n=500, hub_deg=50)
+    scratch = str(tmp_path / "cc_scratch")
+    comp = connected_components(
+        v, e, CanonicalizeConfig(hot_degree_threshold=25, salt_buckets=4),
+        lineage_cut_every=2, scratch_dir=scratch,
+    )
+    assert comp.count() == 500
+    assert os.listdir(scratch) == ["labels_final"]
+    # the returned frame must survive recompute from labels_final alone
+    comp.unpersist(blocking=True)
+    assert comp.where(F.col("component") == 0).count() == 51
+    spark.catalog.clearCache()
+
+
 def test_minhash_and_embedding_blocks_release_via_clearcache(spark):
     """The query-shaped operators (minhash pairs, embedding near-dup)
     materialize intermediates that the bench harness frees with

@@ -51,6 +51,23 @@ def test_lineage_and_metrics_written(spark, run):
     assert lineage.where("output_rows < 0").count() == 0
     cc_metrics = metrics.where("stage = 'components'")
     assert cc_metrics.count() >= 1  # convergence telemetry recorded
+    # per-stage throughput rows (scaling history, round-3 verdict task 8)
+    tp = metrics.where("metric = 'rows_per_sec'")
+    assert {r.stage for r in tp.select("stage").distinct().collect()} >= {
+        "docs", "mentions", "triples", "edges"
+    }
+    assert tp.where("value <= 0").count() == 0
+    rows_m = {
+        r.stage: r.value
+        for r in metrics.where("metric = 'output_rows'").collect()
+    }
+    lineage_rows = {
+        r.stage: r.total
+        for r in lineage.groupBy("stage").sum("output_rows")
+        .withColumnRenamed("sum(output_rows)", "total").collect()
+    }
+    for stage, total in rows_m.items():
+        assert total == lineage_rows[stage], stage
 
 
 def test_no_overmerge(run):

@@ -52,6 +52,65 @@ def test_topk_prunes_before_shuffle(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
 
 
+def test_kg_triples_plan(spark):
+    """The flagship plan's load-bearing properties (round-3 verdict task
+    7): whole-stage codegen on the extraction chain, exactly ONE
+    materialized fan-out (the mentions persist — InMemoryTableScan), no
+    nested-loop/cartesian join, and no per-row Python in the hot path."""
+    plan = _plan(spark, "kg_triples")
+    assert CHECKS["codegen"].search(plan), plan[:2000]
+    assert "InMemoryTableScan" in plan, "mentions fan-out lost its persist"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan, "per-row Python UDF in the kg path"
+
+
+def test_align_plan_has_no_theta_join(spark):
+    """Pin the round-3 as-of rewrite: segments-to-frames alignment must
+    plan as window functions + bounded equi-joins — a reintroduced
+    per-doc theta join (segments x frames) appears as a
+    BroadcastNestedLoopJoin or CartesianProduct and fails here."""
+    from pyspark.sql import functions as F
+
+    from corporate_knowledge_extractor_spark.corpus import generate_corpus
+    from corporate_knowledge_extractor_spark.operators.align import (
+        align_segments_to_frames,
+    )
+    from corporate_knowledge_extractor_spark.operators.mentions import (
+        junk_block_filter,
+        mention_stage,
+        tag_mentions,
+    )
+    from corporate_knowledge_extractor_spark.operators.segment import (
+        assign_blocks,
+        block_segments,
+        split_lines,
+    )
+    from corporate_knowledge_extractor_spark.plans.explain_report import plan_text
+
+    docs = generate_corpus(spark, n_docs=300)
+    blocks = junk_block_filter(assign_blocks(split_lines(docs)))
+    segs = block_segments(blocks).select(
+        "repo", "path", "commit",
+        F.col("block_id").alias("seg_id"),
+        F.col("start").cast("double").alias("start"),
+        F.col("end").cast("double").alias("end"),
+        "text",
+    )
+    from corporate_knowledge_extractor_spark.config import DEFAULT_CONFIG
+
+    frames = tag_mentions(mention_stage(blocks, DEFAULT_CONFIG.mentions)).select(
+        "repo", "path", "commit",
+        F.col("line_no").cast("double").alias("ts"),
+        F.col("surface").alias("text"),
+        "tags",
+    )
+    plan = plan_text(align_segments_to_frames(segs, frames))
+    spark.catalog.clearCache()
+    assert "BroadcastNestedLoopJoin" not in plan, "theta join reintroduced"
+    assert "CartesianProduct" not in plan
+
+
 def test_no_cartesian_anywhere_in_registry(spark):
     """No registered query may plan a CartesianProduct — broadcast
     nested-loop against a bounded side is the only sanctioned fallback.

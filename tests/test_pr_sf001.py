@@ -60,3 +60,18 @@ def test_sha256_invariant_sf001(spark, sf001):
     docs, _, docs_pdf = sf001
     ref = spark.createDataFrame(docs_pdf)
     assert verify_sha256(docs, ref) == 0
+
+
+def test_pr_empty_oracle_guard(spark):
+    """An empty oracle frame must yield PRResult(0, 0, ...) instead of
+    createDataFrame's 'can not infer schema from empty dataset'."""
+    import pandas as pd
+
+    triples = spark.createDataFrame(
+        [("a", "calls", "b", "code")], "subj string, pred string, obj string, category string"
+    )
+    pr = precision_recall(
+        triples, pd.DataFrame(columns=["subj", "pred", "obj", "category"])
+    )
+    assert (pr.precision, pr.recall, pr.n_oracle, pr.n_matched) == (0.0, 0.0, 0, 0)
+    assert pr.n_pipeline == 1

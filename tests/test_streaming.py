@@ -135,6 +135,35 @@ def test_streaming_dedup_into_incremental_triples(spark, tmp_path):
     assert len(want) > 500  # ~110 docs x ~18 triples/doc
 
 
+def test_foreachbatch_sink_is_retry_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch whose write landed but whose
+    checkpoint commit did not is re-executed verbatim (same id, same rows)
+    on restart. The sink must absorb that replay — running the identical
+    (batch, id) through twice must leave the output byte-identical, and a
+    *different* batch id must still append."""
+    from corporate_knowledge_extractor_spark.corpus import generate_corpus
+    from corporate_knowledge_extractor_spark.streaming.events import (
+        write_triples_batch,
+    )
+
+    docs = generate_corpus(spark, n_docs=60)
+    out = str(tmp_path / "triples_idem")
+    b0 = docs.limit(30)
+    b1 = docs.exceptAll(b0)
+
+    write_triples_batch(b0, 0, out)
+    n_after_b0 = spark.read.parquet(out).count()
+    write_triples_batch(b0, 0, out)  # the crash-retry replay
+    rows_after_retry = spark.read.parquet(out).collect()
+    assert len(rows_after_retry) == n_after_b0, "retry re-appended triples"
+    assert len({tuple(r) for r in rows_after_retry}) == n_after_b0
+
+    write_triples_batch(b1, 1, out)  # a NEW batch must still append
+    total = spark.read.parquet(out)
+    assert total.count() > n_after_b0
+    assert total.where(F.col("_batch_id") == 0).count() == n_after_b0
+
+
 def test_dedup_stream_matches_batch(spark, events_schema, tmp_path):
     """Exactly-once ingest guard: re-delivered rows (same user_id/event_id)
     must be dropped by the streaming dedup, and the surviving set must
