@@ -194,6 +194,36 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup CLUSTER collapse — the operation a training-data pipeline
+    actually runs on pair output: similarity is transitive only through
+    chains (A~B, B~C but A!~C), so pairs must be closed into connected
+    components before exactly one representative per cluster can be
+    kept. Composes the pair generators above with the skew-aware
+    iterative CC from operators/canonicalize.py (the same operator that
+    canonicalizes entity aliases — one CC implementation, two callers).
+
+    Returns one row per document: (id, cluster_id, is_representative)
+    with cluster_id = min doc id of the component and the representative
+    being that minimum (keep-first semantics, matching keep_first_exact
+    and the reference's first-seen-wins dedup,
+    /root/reference/src/output/post_processor.py:204-219). Docs in no
+    pair are their own singleton cluster."""
+    from corporate_knowledge_extractor_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    verts = docs.select(F.col(id_col).alias("entity_id")).distinct()
+    comps = connected_components(verts, pairs.select("id_a", "id_b"))
+    return comps.select(
+        F.col("entity_id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("entity_id") == F.col("component")).alias("is_representative"),
+    )
+
+
 def _simhash_from_hashes():
     """Vectorized Arrow UDF: array<long> shingle hashes -> 64-bit SimHash.
 

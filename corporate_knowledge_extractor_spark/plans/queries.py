@@ -725,6 +725,58 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_clusters",
+    r"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, len(w) - 2 + 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             )) AS sh
+      FROM words WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+            len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.6
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE r.src <> e.dst
+    ), mins AS (
+      SELECT src AS doc_id, min(dst) AS min_reach FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(m.min_reach, d.doc_id)) AS BIGINT)
+             AS cluster_id,
+           least(d.doc_id, coalesce(m.min_reach, d.doc_id)) = d.doc_id
+             AS is_representative
+    FROM documents d LEFT JOIN mins m USING (doc_id)
+    """,
+    doc="near-dup CLUSTER collapse: n-gram Jaccard pairs closed into "
+    "connected components (the iterative CC operator), keep-first "
+    "representative per cluster — oracled via a DuckDB recursive-CTE "
+    "transitive closure stating the fixpoint the Spark loop converges to",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    eligible = d.where(textstats.token_count(F.col("text")) >= 3)
+    pairs = dedup.ngram_jaccard_pairs(
+        eligible, block_cols=("lang",), n=3, threshold=0.6
+    )
+    return dedup.neardup_clusters(d, pairs)
+
+
+@query(
     "embedding_topk",
     """
     WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

@@ -321,3 +321,20 @@ def test_simhash_fast_path_pairs_equal_bruteforce(spark):
     spark.catalog.clearCache()
     assert len(fast) > 0
     assert fast == brute
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """Cluster collapse must close pair chains transitively (A~B, B~C
+    => one cluster {A,B,C} even though A!~C) and keep exactly one
+    representative — the min id — per cluster; unpaired docs are their
+    own singleton representative."""
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_representative)
+        for r in dedup.neardup_clusters(docs, pairs).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True)
+    }
