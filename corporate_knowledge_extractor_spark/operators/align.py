@@ -37,7 +37,13 @@ the previous theta-join form):
   * word arrays (speech words, content words, tag word-splits) are
     computed **once per segment/frame row** and carried through the
     joins — the previous form re-ran the regex splits per candidate
-    pair, 2*window+1 times each.
+    pair, 2*window+1 times each;
+  * the per-timestamp representative frame is a lag() flag inside the
+    same window that assigns frame indices (no extra groupBy shuffle),
+    and the no-candidate fallback is a score -1 sentinel row resolved
+    INSIDE the argmax window (no base-vs-best left join) — the word
+    arrays are dropped before that final shuffle, so only slim
+    (segment, score, text) rows cross it.
 
 Everything is per-document, so the sort, both windows, and the candidate
 equi-join run under one hash partitioning on the doc key — no global
@@ -104,9 +110,15 @@ def align_segments_to_frames(
 
     # ---- step 1: closest eligible frame, as an as-of join --------------
     # one representative frame per (doc, ts): the strict-< scan keeps the
-    # LOWEST index among equal-timestamp frames
-    f_repr = f.groupBy(*DOC, "f_ts").agg(
-        F.min("f_idx").alias("r_idx"), F.min_by("f_text", "f_idx").alias("r_text")
+    # LOWEST index among equal timestamps = the FIRST row of each ts run
+    # in the already-sorted doc window — a lag() flag in the same
+    # WindowExec that assigned f_idx, not a separate groupBy shuffle
+    prev_ts = F.lag("f_ts").over(w_doc)
+    f = f.withColumn(
+        "_ts_first", prev_ts.isNull() | (prev_ts != F.col("f_ts"))
+    )
+    f_repr = f.where(F.col("_ts_first")).select(
+        *DOC, "f_ts", F.col("f_idx").alias("r_idx"), F.col("f_text").alias("r_text")
     )
     seg_id_type = dict(s.dtypes)["seg_id"]
     ev_f = f_repr.select(
@@ -224,26 +236,39 @@ def align_segments_to_frames(
         cfg.weight_tags * tag_sim + cfg.weight_text * text_sim + cfg.weight_timestamp * ts_score
     )
 
-    # ---- step 4: argmax, first candidate (lowest index) on ties --------
+    # ---- steps 4+5 fused: argmax with the fallback IN the window -------
+    # The reference's "no candidates -> closest frame's text" fallback
+    # (aligner.py:77-78) is a sentinel candidate per segment: score -1
+    # sits strictly below every real blended score (each term is >= 0),
+    # so the argmax picks it only when the candidate set is empty. This
+    # removes the former base-vs-best LEFT JOIN — a whole extra shuffle
+    # of the segment table by (doc, seg_id) on the stage that dominates
+    # the pipeline wall — and resolves the winner in the same window
+    # shuffle the argmax already pays. Tie rule unchanged: first (lowest
+    # f_idx) candidate wins; the sentinel's f_idx never ties because its
+    # score is unique.
+    seg_cols = [*DOC, "seg_id", "s_start", "s_end", "speech"]
+    real = cand.select(
+        *seg_cols, "f_idx", score.alias("_score"), F.col("f_text").alias("_cand_text")
+    )
+    fallback = base.select(
+        *seg_cols,
+        F.lit(-1).alias("f_idx"),
+        F.lit(-1.0).alias("_score"),
+        F.col("closest_text").alias("_cand_text"),
+    )
     w_best = W.partitionBy(*DOC, "seg_id").orderBy(F.desc("_score"), F.col("f_idx"))
-    best = (
-        cand.withColumn("_score", score)
+    out = (
+        real.unionByName(fallback)
         .withColumn("_rn", F.row_number().over(w_best))
         .where(F.col("_rn") == 1)
-        .select(*DOC, "seg_id", F.col("f_text").alias("best_text"))
-    )
-
-    # ---- step 5: fallback to closest frame's text ----------------------
-    out = (
-        base.join(best, [*DOC, "seg_id"], "left")
-        .withColumn("slide_text", F.coalesce("best_text", "closest_text"))
         .select(
             *DOC,
             "seg_id",
             F.col("s_start").alias("start"),
             F.col("s_end").alias("end"),
             "speech",
-            "slide_text",
+            F.col("_cand_text").alias("slide_text"),
         )
     )
     # segments of docs with zero frames: empty slide_text (aligner.py:25-26)
