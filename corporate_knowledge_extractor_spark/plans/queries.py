@@ -725,6 +725,125 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "aligned_segments",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), pos AS (
+      SELECT doc_id, ws, unnest(range(len(ws))) AS p, unnest(ws) AS word FROM w
+    ), segs AS (
+      SELECT doc_id, CAST(floor(p / 12) AS BIGINT) AS seg_id,
+             CAST(min(p) AS DOUBLE) AS s_start, CAST(max(p) AS DOUBLE) AS s_end,
+             string_agg(word, ' ' ORDER BY p) AS speech
+      FROM pos GROUP BY doc_id, floor(p / 12)
+    ), fidx AS (
+      SELECT doc_id, p * 1.0 AS ts,
+             array_to_string(list_slice(ws, CAST(p AS INT) + 1, CAST(p AS INT) + 3), ' ') AS ftext,
+             word AS tag,
+             row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS f_idx
+      FROM pos WHERE length(word) >= 5
+    ), cj AS (
+      SELECT s.doc_id, s.seg_id, f.f_idx
+      FROM segs s JOIN fidx f ON s.doc_id = f.doc_id AND f.ts <= s.s_start + 5
+      QUALIFY row_number() OVER (PARTITION BY s.doc_id, s.seg_id
+                                 ORDER BY abs(f.ts - s.s_start), f.f_idx) = 1
+    ), closest AS (
+      SELECT s.doc_id, s.seg_id, s.s_start, s.s_end, s.speech,
+             coalesce(c.f_idx, 0) AS cidx
+      FROM segs s LEFT JOIN cj c USING (doc_id, seg_id)
+    ), cand AS (
+      SELECT c.doc_id, c.seg_id, c.s_start, c.s_end, c.speech, f.f_idx, f.ts, f.ftext, f.tag
+      FROM closest c JOIN fidx f
+        ON c.doc_id = f.doc_id AND f.f_idx BETWEEN c.cidx - 3 AND c.cidx + 3
+      WHERE f.ts <= c.s_end + 10
+    ), scored AS (
+      SELECT *,
+        0.5 * (CASE WHEN list_contains(list_distinct(string_split(lower(speech), ' ')), lower(tag))
+                    THEN 1.0 ELSE 0.0 END)
+        + 0.3 * (CASE WHEN len(list_distinct(list_filter(string_split(lower(speech), ' '), x -> length(x) > 2))) > 0
+                       AND len(list_distinct(list_filter(string_split(lower(ftext), ' '), x -> length(x) > 2))) > 0
+                      THEN len(list_intersect(
+                             list_distinct(list_filter(string_split(lower(speech), ' '), x -> length(x) > 2)),
+                             list_distinct(list_filter(string_split(lower(ftext), ' '), x -> length(x) > 2))))
+                           * 1.0 / len(list_distinct(list_filter(string_split(lower(speech), ' '), x -> length(x) > 2)))
+                      ELSE 0.0 END)
+        + 0.2 * (1.0 / (1.0 + abs(ts - s_start) / 10.0)) AS score
+      FROM cand
+    ), best AS (
+      SELECT doc_id, seg_id, s_start, s_end, speech, ftext AS slide_text
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY doc_id, seg_id ORDER BY score DESC, f_idx) = 1
+    ), nocand AS (
+      SELECT c.doc_id, c.seg_id, c.s_start, c.s_end, c.speech, coalesce(f.ftext, '') AS slide_text
+      FROM closest c LEFT JOIN fidx f ON c.doc_id = f.doc_id AND f.f_idx = c.cidx
+      WHERE NOT EXISTS (SELECT 1 FROM cand x WHERE x.doc_id = c.doc_id AND x.seg_id = c.seg_id)
+    )
+    SELECT doc_id, seg_id, s_start AS start, s_end AS "end", speech, slide_text FROM best
+    UNION ALL
+    SELECT doc_id, seg_id, s_start AS start, s_end AS "end", speech, slide_text FROM nocand
+    """,
+    doc="J1 the scored as-of/interval join ITSELF, fully DuckDB-oracled: "
+    "segments = 12-word chunks of each document, frames = positions of "
+    "words >= 5 chars (3-word context text, the word as tag); the oracle "
+    "restates closest-eligible-frame selection, the bounded candidate "
+    "window, the blended tag/text/timestamp score, first-wins argmax, "
+    "and the no-candidate fallback non-iteratively — slide_text is "
+    "hash-compared, so the argmax itself is certified cross-engine "
+    "(reference semantics: /root/reference/src/align/aligner.py:4-110)",
+)
+def aligned_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from corporate_knowledge_extractor_spark.operators.align import (
+        align_segments_to_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = d.select("doc_id", w.alias("ws"))
+    pos = base.select("doc_id", "ws", F.posexplode("ws").alias("p", "word"))
+    segs = (
+        pos.groupBy("doc_id", F.floor(F.col("p") / 12).alias("seg_id"))
+        .agg(
+            F.min("p").alias("start"),
+            F.max("p").alias("end"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    frames = pos.where(F.length("word") >= 5).select(
+        "doc_id",
+        F.col("p").cast("double").alias("ts"),
+        F.array_join(F.slice("ws", F.col("p") + 1, 3), " ").alias("text"),
+        F.array(F.col("word")).alias("tags"),
+    )
+    segs2 = segs.select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.lit("").alias("path"),
+        F.lit("").alias("commit"),
+        "seg_id",
+        F.col("start").cast("double").alias("start"),
+        F.col("end").cast("double").alias("end"),
+        "text",
+    )
+    frames2 = frames.select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.lit("").alias("path"),
+        F.lit("").alias("commit"),
+        "ts",
+        "text",
+        "tags",
+    )
+    return align_segments_to_frames(segs2, frames2).select(
+        F.col("repo").cast("bigint").alias("doc_id"),
+        "seg_id", "start", "end", "speech", "slide_text",
+    )
+
+
+@query(
     "neardup_clusters",
     r"""
     WITH RECURSIVE words AS (
