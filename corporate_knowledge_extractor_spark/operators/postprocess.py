@@ -88,6 +88,27 @@ def categorize(triples: DataFrame) -> DataFrame:
     )
 
 
-def post_process(triples: DataFrame) -> DataFrame:
-    """Full chain in reference order (post_processor.py:33-71)."""
-    return categorize(validate_calls(dedup_triples(triples)))
+def post_process(
+    triples: DataFrame, persist: bool = False, scratch: list | None = None
+) -> DataFrame:
+    """Full chain in reference order (post_processor.py:33-71).
+
+    The deduped table is a fan-out point: validate_calls scans it twice
+    (the known-surfaces subquery + the main join side), and Spark does
+    NOT reuse the window exchange across the two branches — without
+    materialization the whole upstream chain (mention scan + synthesis
+    union + the dedup window sort) executes twice, measured ~1.5x on the
+    staged triples stage at 100k docs. ``persist=True`` applies the
+    repo materialization policy (eager serialized persist) at that
+    fan-out. Release contract: query-shaped callers free it with
+    clearCache (the bench does, per query); the staged pipeline passes
+    ``scratch`` (a list the materialized frame is appended to) and
+    releases it right after the stage write."""
+    deduped = dedup_triples(triples)
+    if persist:
+        from corporate_knowledge_extractor_spark.materialize import materialize
+
+        deduped = materialize(deduped)
+        if scratch is not None:
+            scratch.append(deduped)
+    return categorize(validate_calls(deduped))

@@ -113,7 +113,11 @@ def extract_triples(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
         from corporate_knowledge_extractor_spark.materialize import materialize
 
         mentions = materialize(mentions)
-    return post_process(synth(mentions))
+    # persist also gates the dedup fan-out inside post_process (the
+    # known-surfaces subquery re-executes the whole dedup window chain
+    # otherwise — measured 4x on the stage); same clearCache release
+    # contract as the mentions persist above
+    return post_process(synth(mentions), persist=persist)
 
 
 @dataclass
@@ -339,12 +343,21 @@ class Pipeline:
             return result
 
         synth = self.profile.synthesizer() if self.profile else synthesize_triples
+        # the dedup fan-out inside post_process is persisted for the
+        # duration of this stage only — `scratch` hands the materialized
+        # frame back so it can be released the moment the stage table is
+        # written (precise release, not a session-wide clearCache that
+        # would drop caches the caller owns)
+        _scratch: list = []
         triples = self._stage(
             "triples",
-            lambda: post_process(synth(mentions)),
+            lambda: post_process(synth(mentions), persist=True, scratch=_scratch),
             result,
             resume,
         )
+        from corporate_knowledge_extractor_spark.materialize import release
+
+        release(*_scratch)
         if done("triples"):
             return result
 

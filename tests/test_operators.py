@@ -173,14 +173,19 @@ def test_synthesize_backends_agree(spark):
         synthesize_triples_batched,
     )
 
+    from corporate_knowledge_extractor_spark.materialize import materialize, release
+
     docs = generate_corpus(spark, n_docs=120)
-    mentions = mention_stage(jbf(assign_blocks(split_lines(docs)))).localCheckpoint(
-        eager=True
-    )
+    # materialize(), NOT localCheckpoint: checkpoint RDDs survive
+    # clearCache and leaked into later tests' storage assertions (the
+    # exact failure mode the materialization policy bans in production
+    # code — test fixtures follow the same rule)
+    mentions = materialize(mention_stage(jbf(assign_blocks(split_lines(docs)))))
     cols = ["repo", "path", "commit", "subj", "pred", "obj", "frame_id", "line_no"]
     native = {tuple(r) for r in synthesize_triples(mentions).select(*cols).collect()}
     batched = {
         tuple(r) for r in synthesize_triples_batched(mentions).select(*cols).collect()
     }
+    release(mentions)
     assert native == batched
     assert len(native) > 500
