@@ -15,6 +15,7 @@ from corporate_knowledge_extractor_spark.operators.mentions import (
 from corporate_knowledge_extractor_spark.operators.postprocess import (
     categorize,
     dedup_triples,
+    post_process,
     validate_calls,
 )
 from corporate_knowledge_extractor_spark.operators.redact import redact_columns
@@ -189,3 +190,35 @@ def test_synthesize_backends_agree(spark):
     release(mentions)
     assert native == batched
     assert len(native) > 500
+
+
+def test_post_process_persist_fanout_contract(spark):
+    """post_process(persist=True) must (a) emit exactly the same rows as
+    the unpersisted form, (b) hand the materialized dedup frame back via
+    `scratch`, and (c) leave zero storage behind once the caller
+    releases it — the staged pipeline's precise-release contract."""
+    from corporate_knowledge_extractor_spark.corpus import generate_corpus
+    from corporate_knowledge_extractor_spark.materialize import release
+    from corporate_knowledge_extractor_spark.operators.mentions import (
+        mention_stage,
+        junk_block_filter as jbf,
+    )
+    from corporate_knowledge_extractor_spark.operators.synthesize import (
+        synthesize_triples,
+    )
+
+    spark.catalog.clearCache()
+    baseline = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    docs = generate_corpus(spark, n_docs=80)
+    mentions = mention_stage(jbf(assign_blocks(split_lines(docs))))
+
+    plain = {tuple(r) for r in post_process(synthesize_triples(mentions)).collect()}
+    scratch: list = []
+    persisted_df = post_process(
+        synthesize_triples(mentions), persist=True, scratch=scratch
+    )
+    persisted = {tuple(r) for r in persisted_df.collect()}
+    assert persisted == plain and len(plain) > 100
+    assert len(scratch) == 1  # the materialized dedup frame is handed back
+    release(*scratch)
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == baseline
