@@ -41,9 +41,15 @@ the previous theta-join form):
   * the per-timestamp representative frame is a lag() flag inside the
     same window that assigns frame indices (no extra groupBy shuffle),
     and the no-candidate fallback is a score -1 sentinel row resolved
-    INSIDE the argmax window (no base-vs-best left join) — the word
-    arrays are dropped before that final shuffle, so only slim
-    (segment, score, text) rows cross it.
+    INSIDE the argmax window (no base-vs-best left join);
+  * **no text string rides the hot path**: the union stream, both
+    running as-of windows, the candidate join, and the argmax shuffle
+    carry frame/segment *indices only* — `speech` and the winning
+    frame's text are equi-joined back on (doc, seg_id) / (doc, f_idx)
+    AFTER the argmax, when exactly one slim row per segment is left
+    (round-4 decomposition: the aligned stage was 47% of staged wall
+    and its sort payload was dominated by strings consumed only after
+    the winner was picked).
 
 Everything is per-document, so the sort, both windows, and the candidate
 equi-join run under one hash partitioning on the doc key — no global
@@ -104,9 +110,17 @@ def align_segments_to_frames(
         F.col("end").alias("s_end"),
         F.col("text").alias("speech"),
     )
-    s = s.withColumn(
-        "speech_words_all", F.array_distinct(F.split(F.lower(F.col("speech")), r"\s+"))
-    ).withColumn("s_words", _content_words(F.col("speech"), stop_words))
+    # word features for scoring, split off WITHOUT the speech string: the
+    # candidate join and argmax only consume the arrays; the raw text is
+    # joined back per winning segment at the end
+    s_feat = (
+        s.withColumn(
+            "speech_words_all",
+            F.array_distinct(F.split(F.lower(F.col("speech")), r"\s+")),
+        )
+        .withColumn("s_words", _content_words(F.col("speech"), stop_words))
+        .drop("speech")
+    )
 
     # ---- step 1: closest eligible frame, as an as-of join --------------
     # one representative frame per (doc, ts): the strict-< scan keeps the
@@ -117,8 +131,11 @@ def align_segments_to_frames(
     f = f.withColumn(
         "_ts_first", prev_ts.isNull() | (prev_ts != F.col("f_ts"))
     )
+    # the union stream carries INDICES only (r_idx/r_ts) — the frame text
+    # is not consulted until after the argmax, so it must not ride the
+    # per-doc sort that dominates the stage's cost
     f_repr = f.where(F.col("_ts_first")).select(
-        *DOC, "f_ts", F.col("f_idx").alias("r_idx"), F.col("f_text").alias("r_text")
+        *DOC, "f_ts", F.col("f_idx").alias("r_idx")
     )
     seg_id_type = dict(s.dtypes)["seg_id"]
     ev_f = f_repr.select(
@@ -127,7 +144,6 @@ def align_segments_to_frames(
         F.lit(0).alias("kind"),
         F.col("r_idx"),
         F.col("f_ts").alias("r_ts"),
-        F.col("r_text"),
         F.lit(None).cast(seg_id_type).alias("seg_id"),
     )
     ev_s = s.select(
@@ -136,7 +152,6 @@ def align_segments_to_frames(
         F.lit(1).alias("kind"),
         F.lit(None).cast("int").alias("r_idx"),
         F.lit(None).cast("double").alias("r_ts"),
-        F.lit(None).cast("string").alias("r_text"),
         F.col("seg_id"),
     )
     ev = ev_f.unionByName(ev_s)
@@ -161,10 +176,8 @@ def align_segments_to_frames(
     probes = (
         ev.withColumn("b_idx", F.last("r_idx", ignorenulls=True).over(w_bwd))
         .withColumn("b_ts", F.last("r_ts", ignorenulls=True).over(w_bwd))
-        .withColumn("b_text", F.last("r_text", ignorenulls=True).over(w_bwd))
         .withColumn("a_idx", F.first("r_idx", ignorenulls=True).over(w_fwd))
         .withColumn("a_ts", F.first("r_ts", ignorenulls=True).over(w_fwd))
-        .withColumn("a_text", F.first("r_text", ignorenulls=True).over(w_fwd))
         .where(F.col("kind") == 1)
     )
     b_valid = F.col("b_ts").isNotNull()  # ts <= start is always eligible
@@ -183,21 +196,21 @@ def align_segments_to_frames(
         F.when(pick_b, F.col("b_idx"))
         .when(a_valid, F.col("a_idx"))
         .alias("closest_idx"),
-        F.when(pick_b, F.col("b_text"))
-        .when(a_valid, F.col("a_text"))
-        .alias("closest_text"),
     )
     # segments with no eligible frame: the reference defaults closest_idx=0
-    # (aligner.py:42-43 initial value survives when no frame qualifies)
-    first_frame = f.where(F.col("f_idx") == 0).select(
-        *DOC, F.col("f_idx").alias("closest_idx"), F.col("f_text").alias("closest_text")
-    )
+    # (aligner.py:42-43 initial value survives when no frame qualifies) —
+    # index only; any doc that HAS frames has a frame 0
     matched = closest.where(F.col("closest_idx").isNotNull())
-    no_match = closest.where(F.col("closest_idx").isNull()).select(*DOC, "seg_id")
-    closest_all = matched.unionByName(no_match.join(first_frame, DOC))
+    no_match = (
+        closest.where(F.col("closest_idx").isNull())
+        .select(*DOC, "seg_id")
+        .join(f.select(*DOC).distinct(), DOC, "left_semi")
+        .withColumn("closest_idx", F.lit(0))
+    )
+    closest_all = matched.unionByName(no_match)
 
     # ---- step 2: candidate window as a bounded equi-join ---------------
-    base = s.join(closest_all, [*DOC, "seg_id"])
+    base = s_feat.join(closest_all, [*DOC, "seg_id"])
     cand = (
         base.withColumn(
             "f_idx",
@@ -209,7 +222,7 @@ def align_segments_to_frames(
             ),
         )
         .join(
-            f.select(*DOC, "f_idx", "f_ts", "f_text", "f_words", "f_tag_words"),
+            f.select(*DOC, "f_idx", "f_ts", "f_words", "f_tag_words"),
             [*DOC, "f_idx"],
         )
         .where(F.col("f_ts") <= F.col("s_end") + cfg.tolerance_after)
@@ -239,37 +252,54 @@ def align_segments_to_frames(
     # ---- steps 4+5 fused: argmax with the fallback IN the window -------
     # The reference's "no candidates -> closest frame's text" fallback
     # (aligner.py:77-78) is a sentinel candidate per segment: score -1
-    # sits strictly below every real blended score (each term is >= 0),
+    # sits strictly below every real blended score (ts_score > 0 always),
     # so the argmax picks it only when the candidate set is empty. This
     # removes the former base-vs-best LEFT JOIN — a whole extra shuffle
     # of the segment table by (doc, seg_id) on the stage that dominates
     # the pipeline wall — and resolves the winner in the same window
     # shuffle the argmax already pays. Tie rule unchanged: first (lowest
-    # f_idx) candidate wins; the sentinel's f_idx never ties because its
-    # score is unique.
-    seg_cols = [*DOC, "seg_id", "s_start", "s_end", "speech"]
-    real = cand.select(
-        *seg_cols, "f_idx", score.alias("_score"), F.col("f_text").alias("_cand_text")
-    )
+    # f_idx) candidate wins; the sentinel never ties a real candidate
+    # because its score is unique, and no two real candidates share an
+    # f_idx (the candidate join is keyed on it), so the ordering is
+    # total. The sentinel carries closest_idx as its f_idx, so ONE text
+    # join below resolves both the winning candidate's text and the
+    # fallback's closest-frame text.
+    seg_keys = [*DOC, "seg_id"]
+    real = cand.select(*seg_keys, "f_idx", score.alias("_score"))
     fallback = base.select(
-        *seg_cols,
-        F.lit(-1).alias("f_idx"),
+        *seg_keys,
+        F.col("closest_idx").alias("f_idx"),
         F.lit(-1.0).alias("_score"),
-        F.col("closest_text").alias("_cand_text"),
     )
     w_best = W.partitionBy(*DOC, "seg_id").orderBy(F.desc("_score"), F.col("f_idx"))
-    out = (
+    winners = (
         real.unionByName(fallback)
         .withColumn("_rn", F.row_number().over(w_best))
         .where(F.col("_rn") == 1)
-        .select(
-            *DOC,
-            "seg_id",
-            F.col("s_start").alias("start"),
-            F.col("s_end").alias("end"),
-            "speech",
-            F.col("_cand_text").alias("slide_text"),
+        .select(*seg_keys, "f_idx")
+    )
+    # texts re-attached to the ONE winning row per segment: slide_text on
+    # (doc, f_idx), speech/start/end on (doc, seg_id). The winners frame
+    # leaves the argmax window already hash-partitioned by (doc, seg_id),
+    # so the segment-side join reuses that partitioning; both joins move
+    # one slim row per segment plus the id->text tables — instead of
+    # every candidate row carrying both strings through the argmax sort.
+    out = (
+        winners.join(
+            f.select(*DOC, "f_idx", F.col("f_text").alias("slide_text")),
+            [*DOC, "f_idx"],
         )
+        .join(
+            s.select(
+                *DOC,
+                "seg_id",
+                F.col("s_start").alias("start"),
+                F.col("s_end").alias("end"),
+                "speech",
+            ),
+            [*DOC, "seg_id"],
+        )
+        .select(*DOC, "seg_id", "start", "end", "speech", "slide_text")
     )
     # segments of docs with zero frames: empty slide_text (aligner.py:25-26)
     missing = s.join(f.select(*DOC).distinct(), DOC, "left_anti").select(
