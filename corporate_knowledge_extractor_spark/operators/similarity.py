@@ -180,10 +180,23 @@ def ivf_refine_centroids(
     centroids: list[list[float]],
     iterations: int = 2,
     vec_col: str = "embedding",
+    mean_grid: int | None = None,
 ) -> list[list[float]]:
     """Lloyd refinement, driver-collecting only k x dim floats per round
     (k is small by construction; the corpus is never collected). Empty
-    clusters keep their previous centroid."""
+    clusters keep their previous centroid.
+
+    ``mean_grid`` snaps each refined centroid component to the binary
+    grid 1/mean_grid (floor). On inputs that are themselves exact
+    multiples of a power-of-two grid (e.g. 2^-10-quantized embeddings)
+    the per-component sums are exact in double precision regardless of
+    aggregation order, so the refined centroids — and therefore the
+    whole build+search — are bit-identical across engines and across
+    partition orders; the snap is the belt-and-braces that keeps them on
+    a grid for the next round. This is what lets embedding_ivf carry a
+    full DuckDB hash oracle instead of a rows-only check."""
+    import math
+
     dim = len(centroids[0])
     for _ in range(iterations):
         assigned = ivf_assign(embeddings, centroids, vec_col)
@@ -198,7 +211,10 @@ def ivf_refine_centroids(
         )
         new = list(centroids)
         for r in means:
-            new[r._cluster] = [float(x) for x in r.mean]
+            vals = [float(x) for x in r.mean]
+            if mean_grid:
+                vals = [math.floor(x * mean_grid) / mean_grid for x in vals]
+            new[r._cluster] = vals
         centroids = new
     return centroids
 
@@ -231,6 +247,7 @@ def ivf_build(
     lloyd_iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mean_grid: int | None = None,
 ) -> IVFIndex:
     """Train the coarse quantizer (deterministic seeds + Lloyd) and
     materialize the inverted-list assignment ONCE. This is the expensive
@@ -238,7 +255,8 @@ def ivf_build(
     top-k call (3 full corpus scans per query batch at 100 TB); the
     build/search split makes the index a real index."""
     cents = ivf_refine_centroids(
-        embeddings, seed_centroids(dim, n_centroids), lloyd_iterations, vec_col
+        embeddings, seed_centroids(dim, n_centroids), lloyd_iterations, vec_col,
+        mean_grid,
     )
     assigned = materialize(ivf_assign(embeddings, cents, vec_col))
     return IVFIndex(cents, assigned, id_col, vec_col)
@@ -293,13 +311,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    mean_grid: int | None = None,
 ) -> DataFrame:
     """One-shot convenience: ivf_build + ivf_search. Callers issuing more
     than one query batch should hold the IVFIndex and call ivf_search —
     the index is the point (the alternative scale path to the LSH buckets
     of ann_topk: IVF adapts to the data distribution; LSH needs no
     training pass)."""
-    index = ivf_build(embeddings, dim, n_centroids, lloyd_iterations, id_col, vec_col)
+    index = ivf_build(
+        embeddings, dim, n_centroids, lloyd_iterations, id_col, vec_col, mean_grid
+    )
     return ivf_search(index, queries, k, nprobe, query_id_col)
 
 

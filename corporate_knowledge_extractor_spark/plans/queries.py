@@ -1716,31 +1716,120 @@ REGISTRY["embedding_neardup"] = Query(
 
 @query(
     "embedding_ivf",
-    None,
+    None,  # full DuckDB oracle registered below via _ivf_full_sql()
     doc="IVF approximate top-k (ivf_build: coarse k-means quantizer + "
     "persisted inverted lists; ivf_search: nprobe list scan — "
-    "operators/similarity.py) — rows-only: the Lloyd refinement averages "
-    "floats across engines in different orders, so a hash-identical SQL "
-    "twin is not honest; recall vs brute force is asserted in "
-    "tests/test_dedup_similarity.py and the deterministic assign+probe "
-    "stage is hash-checked cross-engine by ivf_assign_parity",
+    "operators/similarity.py), FULLY oracled since round 5: the corpus "
+    "is quantized to the 2^-10 binary grid at read, which makes every "
+    "per-component Lloyd sum exact in double precision (sums of exact "
+    "multiples of 2^-10 stay exact far beyond this row count), so the "
+    "centroid means are independent of aggregation order and the whole "
+    "build+search chain is bit-identical across engines; mean_grid=4096 "
+    "keeps refined centroids on a grid round over round. Recall vs "
+    "brute force stays asserted in tests/test_dedup_similarity.py",
 )
 def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 4).select(
+    quant = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1024 + F.lit(0.5)) / 1024,
+        ).alias("embedding"),
+    )
+    q = quant.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return similarity.ivf_topk(e, q, dim=64, k=5, n_centroids=8, nprobe=3)
+    return similarity.ivf_topk(
+        quant, q, dim=64, k=5, n_centroids=8, nprobe=3, mean_grid=4096
+    )
+
+
+def _ivf_full_sql(
+    dim: int = 64, n_centroids: int = 8, nprobe: int = 3, k: int = 5,
+    iterations: int = 2,
+) -> str:
+    """Restates the ENTIRE IVF pipeline — quantize, 2 unrolled Lloyd
+    rounds (assign = max-cosine centroid with ties to the larger cluster
+    index, exactly Spark's array_max over struct(s, c); means snapped to
+    the 2^-12 grid; empty clusters keep their previous centroid), final
+    inverted-list assignment, per-query probe ranking, bounded top-k —
+    in DuckDB SQL. Exactness argument in embedding_ivf's doc."""
+    cents = similarity.seed_centroids(dim, n_centroids)
+    values = ", ".join(
+        f"({i}, CAST({c!r} AS DOUBLE[]))" for i, c in enumerate(cents)
+    )
+
+    def cos(e: str, c: str) -> str:
+        return (
+            f"list_dot_product({e}, {c}) / (sqrt(list_dot_product({e}, {e}))"
+            f" * sqrt(list_dot_product({c}, {c})))"
+        )
+
+    mean_arr = ", ".join(
+        f"floor(avg(v[{i + 1}]) * 4096) / 4096" for i in range(dim)
+    )
+    lloyd = ""
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        lloyd += f""", a{it} AS (
+      SELECT e.vec_id, e.v, c.cluster
+      FROM emb e CROSS JOIN {prev} c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {cos("e.v", "c.cent")} DESC, c.cluster DESC) = 1
+    ), m{it} AS (
+      SELECT cluster, [{mean_arr}] AS cent FROM a{it} GROUP BY cluster
+    ), c{it} AS (
+      SELECT s.cluster, coalesce(m.cent, s.cent) AS cent
+      FROM {prev} s LEFT JOIN m{it} m USING (cluster)
+    )"""
+        prev = f"c{it}"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> floor(CAST(x AS DOUBLE) * 1024 + 0.5) / 1024) AS v
+      FROM embeddings
+    ), c0(cluster, cent) AS (VALUES {values}){lloyd},
+    assigned AS (
+      SELECT e.vec_id, e.v, c.cluster
+      FROM emb e CROSS JOIN {prev} c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {cos("e.v", "c.cent")} DESC, c.cluster DESC) = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id < 4
+    ), probes AS (
+      SELECT q.query_id, q.qvec, c.cluster
+      FROM q CROSS JOIN {prev} c
+      QUALIFY row_number() OVER (PARTITION BY q.query_id
+                ORDER BY {cos("q.qvec", "c.cent")} DESC, c.cluster DESC)
+              <= {nprobe}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id,
+             round({cos("a.v", "p.qvec")}, 4) AS cosine_sim
+      FROM assigned a JOIN probes p USING (cluster)
+    )
+    SELECT query_id, vec_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+
+
+REGISTRY["embedding_ivf"] = Query(
+    fn=embedding_ivf, sql=_ivf_full_sql(), doc=REGISTRY["embedding_ivf"].doc
+)
 
 
 @query(
     "ivf_assign_parity",
     None,  # SQL registered below via _ivf_assign_sql()
-    doc="the deterministic half of IVF cross-engine: per-vector centroid "
-    "ranking (assignment = rank 1, probe list = rank <= nprobe) against "
-    "the literal seed centroids — everything in embedding_ivf except the "
-    "Lloyd float-averaging is hash-checked here, shrinking the unoracled "
-    "surface to exactly the xxhash64 fast paths + Lloyd",
+    doc="per-vector centroid ranking (assignment = rank 1, probe list = "
+    "rank <= nprobe) against the literal seed centroids on the RAW "
+    "(unquantized) embeddings — the direct cross-engine check of the "
+    "assign/probe kernel that embedding_ivf (fully oracled via "
+    "quantization since round 5) exercises only through the whole "
+    "build+search chain",
 )
 def ivf_assign_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -2002,7 +2091,31 @@ def chunk_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+# ---------------------------------------------------------------------
+# Retired registry rows (round-5 consolidation): the two parity twins
+# below were full DuckDB-oracled registry entries in rounds 2-4, but the
+# driver's correctness file caps at 50 rows and the registry hit 51 —
+# simhash_parity was silently dropped from CORRECTNESS_r04. Their
+# assertions are pure cross-engine certifications (no operator surface
+# of their own: minhash/simhash construction is already pair-level
+# certified in tests/test_dedup_similarity.py), so they moved WHOLLY to
+# pytest — tests/test_queries.py runs the identical Spark-vs-DuckDB
+# comparison over RETIRED_PARITY every run. Every remaining REGISTRY
+# entry now gets a driver row every round.
+# ---------------------------------------------------------------------
+
+RETIRED_PARITY: dict[str, Query] = {}
+
+
+def retired_parity(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        RETIRED_PARITY[name] = Query(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+@retired_parity(
     "minhash_parity",
     r"""
     WITH words AS (
@@ -2072,7 +2185,7 @@ def _simhash_parity_sql(n_bits: int = 32) -> str:
     """
 
 
-@query(
+@retired_parity(
     "simhash_parity",
     None,  # SQL registered below (generated from the same bit construction)
     doc="cross-engine SimHash parity: 32-bit per-bit majority vote where "
@@ -2106,10 +2219,10 @@ def simhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", sim.cast("long").alias("simhash32"))
 
 
-REGISTRY["simhash_parity"] = Query(
+RETIRED_PARITY["simhash_parity"] = Query(
     fn=simhash_parity,
     sql=_simhash_parity_sql(),
-    doc=REGISTRY["simhash_parity"].doc,
+    doc=RETIRED_PARITY["simhash_parity"].doc,
 )
 
 

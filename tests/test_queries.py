@@ -66,3 +66,32 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert {"subj", "pred", "obj"} <= set(df.columns)
+
+
+# The two parity twins retired from the driver registry (round-5
+# consolidation — the driver's correctness file caps at 50 rows) keep
+# their full Spark-vs-DuckDB certification HERE, with the exact same
+# comparison the driver runs; see queries.RETIRED_PARITY for the why.
+from corporate_knowledge_extractor_spark.plans.queries import (  # noqa: E402
+    RETIRED_PARITY,
+    resolve_sql,
+)
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED_PARITY))
+def test_retired_parity_matches_oracle(spark, ddb, name):
+    q = RETIRED_PARITY[name]
+    sdf = q.fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(resolve_sql(q))
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(c.lower() for c in spark_cols) == sorted(
+        c.lower() for c in duck_cols
+    ), f"{name}: column names differ"
+    got = _rows_to_multiset(spark_rows, spark_cols)
+    want = _rows_to_multiset(duck_rows, duck_cols)
+    assert got == want, f"{name}: value mismatch"
