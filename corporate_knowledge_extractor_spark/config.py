@@ -81,6 +81,13 @@ class LinkingConfig:
 class CanonicalizeConfig:
     max_iterations: int = 20  # CC fixpoint bound (SURVEY.md §7 risk)
     salt_buckets: int = 16  # salting fan-out for hot labels
+    # propagation hops chained inside ONE Spark job per CC round: the
+    # components stage's residual cost is per-job driver latency (round-4
+    # verdict: efficiency 0.28 on a converged 36k-entity pool), so fusing
+    # two hops per job halves the job count at identical total shuffle
+    # volume; label mins are monotone, so convergence detection (changed
+    # == 0 across the job) is unaffected
+    hops_per_job: int = 2
     # vertices whose degree reaches this go through the salted join path
     # (their edge lists would otherwise land on one reducer per round);
     # sized so the cold path's worst reducer stays well under one

@@ -123,7 +123,6 @@ def connected_components(
     import tempfile
 
     spark = vertices.sparkSession
-    scratch = (scratch_dir or tempfile.mkdtemp(prefix="ckg_cc_")).rstrip("/")
     if scratch_dir is None:
         # caller gave no scratch home: own the cleanup. The dir cannot be
         # deleted eagerly (the returned labels' recompute lineage reads
@@ -131,7 +130,19 @@ def connected_components(
         # scrubbed at convergence and the rest goes at interpreter exit —
         # repeated runs in a long-lived session leave one small (V x 2
         # cols) parquet each, never the O(E) sym/per-round tables.
+        scratch = tempfile.mkdtemp(prefix="ckg_cc_").rstrip("/")
         atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    else:
+        # a RUN-UNIQUE subdirectory under the caller's dir (ADVICE r04):
+        # the scrub below only ever touches this run's own tables, so a
+        # second run with the same scratch_dir cannot delete a previous
+        # run's labels_final while its returned frame's recompute lineage
+        # might still read it, and pointing scratch_dir at a non-dedicated
+        # directory no longer destroys unrelated entries. Each run leaves
+        # one small <scratch_dir>/run_*/labels_final; the caller owns the
+        # parent dir's lifetime.
+        os.makedirs(scratch_dir, exist_ok=True)
+        scratch = tempfile.mkdtemp(prefix="run_", dir=scratch_dir).rstrip("/")
 
     def _scrub_scratch(keep: str | None) -> None:
         for name in os.listdir(scratch):
@@ -212,9 +223,6 @@ def connected_components(
     from pyspark.sql import Observation
 
     for i in range(cfg.max_iterations):
-        neighbor_labels = _neighbor_labels(
-            sym_cold, sym_hot, labels, hot_keys, cfg.salt_buckets
-        )
         # Convergence is FUSED into the propagation aggregate: the old
         # label rides the union as `_old` (each entity has exactly one
         # labels row, so min(_old) recovers it), and the changed count is
@@ -224,22 +232,41 @@ def connected_components(
         # per-round data the job/stage *count* is the cost that made the
         # components stage anti-scale with executor count, round-3
         # stage-scaling evidence).
+        #
+        # `hops_per_job` chains SEVERAL propagation hops inside the one
+        # job (round-5): after the first groupBy every entity row carries
+        # its job-start label in `_old` (non-null exactly once per group),
+        # so the next hop unions fresh neighbor candidates and re-
+        # aggregates without losing it. Label updates are monotone mins,
+        # so `changed == 0` across the whole job means NO hop changed
+        # anything — convergence detection is unaffected. At the small-
+        # graph end this halves the round count against the driver-round
+        # latency floor (the components stage's residual cost, round-4
+        # verdict); at the large end it trades 2 chained shuffles per job
+        # for half the job/commit overhead with identical total shuffle
+        # volume.
         # The persist stays lazy, NOT materialize(): the count below is
         # the sole immediate consumer and populates every partition
         # itself; the eager rule exists for CONCURRENT first consumers.
         obs = Observation()
         comp_type = dict(labels.dtypes)["component"]
+        cur = labels.withColumn("_old", F.col("component"))
+        for _ in range(max(1, cfg.hops_per_job)):
+            nbr = _neighbor_labels(
+                sym_cold, sym_hot, cur, hot_keys, cfg.salt_buckets
+            )
+            cur = (
+                cur.unionByName(
+                    nbr.withColumn("_old", F.lit(None).cast(comp_type))
+                )
+                .groupBy("entity_id")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min("_old").alias("_old"),
+                )
+            )
         new_labels = (
-            labels.withColumn("_old", F.col("component"))
-            .unionByName(
-                neighbor_labels.withColumn("_old", F.lit(None).cast(comp_type))
-            )
-            .groupBy("entity_id")
-            .agg(
-                F.min("component").alias("component"),
-                F.min("_old").alias("_old"),
-            )
-            .observe(
+            cur.observe(
                 obs,
                 F.sum(
                     (F.col("component") != F.col("_old")).cast("long")

@@ -147,6 +147,16 @@ class Pipeline:
         self.profile = _resolve_profile(profile)
         self.preset = PRESETS[preset] if isinstance(preset, str) else preset
         if self.preset is not None:
+            # a preset IS a config choice — a caller handing in a second,
+            # disagreeing cfg would previously have it silently discarded
+            # in favor of preset.config (ADVICE r04). Equal values are
+            # fine (submit_pipeline folds manual overrides into both).
+            if cfg is not DEFAULT_CONFIG and cfg != self.preset.config:
+                raise ValueError(
+                    "Pipeline: cfg and preset were both supplied and "
+                    "disagree; pass one, or fold overrides into the "
+                    "preset via dataclasses.replace(preset, config=...)"
+                )
             cfg = self.preset.config
         # the profile's redaction choice applies wherever cfg.redaction is
         # read (the mentions stage); its backend choice applies at the

@@ -122,10 +122,18 @@ def write_transcript_report(out_dir: str, segments: DataFrame,
 
 def load_report(spark: SparkSession, out_dir: str) -> dict:
     """S11: read a report dir back for verification
-    (compare_reports.py:37-99 analogue)."""
-    triples = spark.read.json(os.path.join(out_dir, "knowledge.jsonl"))
+    (compare_reports.py:37-99 analogue). Mode-aware (ADVICE r04): a
+    transcript-only report (metadata.json mode == "transcript_only",
+    written by write_transcript_report) has transcript.jsonl instead of
+    knowledge.jsonl — it loads under the "segments" key; full reports
+    load under "triples"."""
     with open(os.path.join(out_dir, "metadata.json")) as f:
         meta = json.load(f)
     with open(os.path.join(out_dir, "report.md")) as f:
         markdown = f.read()
-    return {"triples": triples, "metadata": meta, "markdown": markdown}
+    out = {"metadata": meta, "markdown": markdown}
+    if meta.get("mode") == "transcript_only":
+        out["segments"] = spark.read.json(os.path.join(out_dir, "transcript.jsonl"))
+    else:
+        out["triples"] = spark.read.json(os.path.join(out_dir, "knowledge.jsonl"))
+    return out

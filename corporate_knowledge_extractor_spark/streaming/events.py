@@ -203,9 +203,29 @@ def write_triples_batch(batch_docs: DataFrame, batch_id: int, out_path: str) -> 
     sink — Iceberg/Delta with the batch id recorded in the commit — is
     the cluster-grade variant; parquet is what the sandbox has.)
     Retry-idempotence is asserted in tests/test_streaming.py by running
-    the same (batch, id) through twice."""
+    the same (batch, id) through twice.
+
+    LAYOUT NOTE (breaking, round 4): the sink moved from flat appended
+    parquet to ``_batch_id=N`` partition directories. A pre-round-4
+    ``out_path`` mixes root-level part files with partition dirs, which
+    Spark's partition discovery rejects (and the old rows lack
+    ``_batch_id``) — resuming an old sink would fail confusingly mid-
+    stream, so legacy layouts are detected up front and refused: point
+    the stream at a fresh out_path (ADVICE r04)."""
+    import os
+
     from corporate_knowledge_extractor_spark.plans.pipeline import extract_triples
 
+    if os.path.isdir(out_path) and any(
+        not name.startswith(("_batch_id=", "_", "."))
+        for name in os.listdir(out_path)
+    ):
+        raise ValueError(
+            f"write_triples_batch: {out_path!r} holds a legacy flat parquet "
+            "layout (pre-_batch_id rows); the partitioned idempotent sink "
+            "cannot be mixed with it — use a new out_path (and a new "
+            "checkpoint dir)"
+        )
     (
         extract_triples(batch_docs, persist=False)
         .withColumn("_batch_id", F.lit(int(batch_id)))

@@ -97,10 +97,25 @@ def test_cc_scrubs_scratch_to_labels_final(spark, tmp_path):
         lineage_cut_every=2, scratch_dir=scratch,
     )
     assert comp.count() == 500
-    assert os.listdir(scratch) == ["labels_final"]
+    # round-5 contract (ADVICE r04): each run scrubs only its own
+    # run-unique subdir, leaving exactly run_*/labels_final
+    [run1] = os.listdir(scratch)
+    assert run1.startswith("run_")
+    assert os.listdir(os.path.join(scratch, run1)) == ["labels_final"]
+    # a second run against the SAME scratch_dir must not clobber the
+    # first run's labels_final (the first frame's recompute lineage may
+    # still read it)
+    comp2 = connected_components(
+        v, e, CanonicalizeConfig(hot_degree_threshold=25, salt_buckets=4),
+        lineage_cut_every=2, scratch_dir=scratch,
+    )
+    assert comp2.count() == 500
+    assert os.path.isdir(os.path.join(scratch, run1, "labels_final"))
+    assert len(os.listdir(scratch)) == 2
     # the returned frame must survive recompute from labels_final alone
     comp.unpersist(blocking=True)
     assert comp.where(F.col("component") == 0).count() == 51
+    comp2.unpersist(blocking=True)
     spark.catalog.clearCache()
 
 
