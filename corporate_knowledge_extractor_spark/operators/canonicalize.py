@@ -292,7 +292,22 @@ def connected_components(
             # labels' recompute lineage pointed at can be deleted NOW —
             # the unbounded temp-disk growth across repeated runs goes
             # away, bounded by the single small labels_final per run
-            final = materialize(_cut(labels, "labels_final"))
+            # labels_final is the durable output a caller keeps: write it
+            # bucketed by component range (GRAPH_BUCKETS) so an id-keyed
+            # reader ("which entities share this canonical id?") prunes
+            # to one partition dir instead of scanning all labels; the
+            # returned frame projects the bucket back out (schema
+            # contract unchanged)
+            path = f"{scratch}/labels_final"
+            (
+                labels.withColumn("_comp_bucket", cid_bucket(F.col("component")))
+                .write.mode("overwrite")
+                .partitionBy("_comp_bucket")
+                .parquet(path)
+            )
+            final = materialize(
+                spark.read.parquet(path).select("entity_id", "component")
+            )
             release(labels)
             _scrub_scratch(keep="labels_final")
             return final
@@ -308,6 +323,23 @@ def connected_components(
     raise AssertionError(
         f"connected_components did not converge in {cfg.max_iterations} iterations"
     )
+
+
+# canonical-id range buckets for the OUTPUT graph tables (nodes, edges,
+# labels_final): downstream graph queries are id-keyed ("edges into this
+# canonical entity", "this entity's node row"), and at 100 TB an
+# unpartitioned edges table forces a full scan per lookup. pmod of the
+# 64-bit id is a uniform range bucket; 16 dirs is sandbox-sized (a real
+# deployment raises it with corpus size — partition evolution is free
+# under the Iceberg seam in sources/sinks.py). Readers that filter on a
+# canonical id get partition pruning via cid_bucket() —
+# plans.pipeline.read_edges_for_canonical / read_nodes_for_canonical;
+# pruning is CI-pinned in tests/test_plans.py.
+GRAPH_BUCKETS = 16
+
+
+def cid_bucket(col: F.Column) -> F.Column:
+    return F.pmod(col, F.lit(GRAPH_BUCKETS))
 
 
 def build_nodes(entities: DataFrame, components: DataFrame) -> DataFrame:
@@ -328,7 +360,7 @@ def build_nodes(entities: DataFrame, components: DataFrame) -> DataFrame:
         F.array_sort(F.collect_set("entity_id")).alias("merged_from"),
         F.sum("freq").alias("total_freq"),
         F.count(F.lit(1)).alias("n_aliases"),
-    )
+    ).withColumn("_cid_bucket", cid_bucket(F.col("canonical_id")))
 
 
 def canonical_map(entities: DataFrame, components: DataFrame) -> DataFrame:

@@ -200,8 +200,16 @@ class Pipeline:
 
     # stage-table partition columns: docs partitioned by lang so downstream
     # lang-pruned scans (vendored/generated-code exclusion at 100 TB) hit
-    # Iceberg/parquet partition pruning instead of reading everything
-    STAGE_PARTITIONING: dict[str, list[str]] = {"docs": ["lang"]}
+    # Iceberg/parquet partition pruning instead of reading everything;
+    # the OUTPUT graph tables partitioned by canonical-id range bucket
+    # (canonicalize.GRAPH_BUCKETS) so id-keyed graph lookups prune to one
+    # dir instead of scanning the whole table — read_nodes_for_canonical /
+    # read_edges_for_canonical below, pruning CI-pinned in test_plans
+    STAGE_PARTITIONING: dict[str, list[str]] = {
+        "docs": ["lang"],
+        "nodes": ["_cid_bucket"],
+        "edges": ["_dst_bucket"],
+    }
 
     def _stage(self, name: str, build, result: PipelineResult, resume: bool) -> DataFrame:
         path = f"{self.base_dir}/tables/{name}"
@@ -461,12 +469,52 @@ class Pipeline:
                     F.min("frame_id").alias("frame_id"),
                     F.min(F.concat_ws("/", "repo", "path")).alias("example_doc"),
                 )
+                # destination-id range bucket = the stage table's partition
+                # key (STAGE_PARTITIONING): "edges into canonical X" reads
+                # prune to one of GRAPH_BUCKETS dirs
+                .withColumn("_dst_bucket", cc.cid_bucket(F.col("dst")))
             )
 
         edges = self._stage("edges", build_edges, result, resume)
 
         self.record_metric("pipeline", "edges_rows", edges.count())
         return result
+
+
+def read_edges_for_canonical(
+    spark: SparkSession, base_dir: str, canonical_id: int
+) -> DataFrame:
+    """Id-keyed edge lookup against the partitioned edges stage table:
+    the `_dst_bucket = pmod(id, GRAPH_BUCKETS)` predicate is a partition
+    filter, so the scan prunes to one bucket directory (1/GRAPH_BUCKETS
+    of the table) before the row-level `dst = id` filter runs — the
+    access path an unpartitioned 100-TB edges table cannot give. Pruning
+    is asserted on inputFiles() in tests/test_plans.py."""
+    from corporate_knowledge_extractor_spark.operators.canonicalize import (
+        GRAPH_BUCKETS,
+    )
+
+    df = read_table(spark, f"{base_dir.rstrip('/')}/tables/edges")
+    return df.where(
+        (F.col("_dst_bucket") == int(canonical_id) % GRAPH_BUCKETS)
+        & (F.col("dst") == canonical_id)
+    )
+
+
+def read_nodes_for_canonical(
+    spark: SparkSession, base_dir: str, canonical_id: int
+) -> DataFrame:
+    """Node-row lookup with partition pruning on `_cid_bucket` (see
+    read_edges_for_canonical)."""
+    from corporate_knowledge_extractor_spark.operators.canonicalize import (
+        GRAPH_BUCKETS,
+    )
+
+    df = read_table(spark, f"{base_dir.rstrip('/')}/tables/nodes")
+    return df.where(
+        (F.col("_cid_bucket") == int(canonical_id) % GRAPH_BUCKETS)
+        & (F.col("canonical_id") == canonical_id)
+    )
 
 
 def verify_sha256(docs: DataFrame, reference_docs: DataFrame) -> int:
