@@ -298,6 +298,81 @@ def run_scaling_cluster(
     return out
 
 
+def run_memory_pressure(
+    n_docs: int = 1_000_000,
+    n_exec: int = 4,
+    cores: int = 2,
+    mem_mb: int = 4096,
+    reps: int = 2,
+) -> dict:
+    """The last 100x-scale failure mode the sandbox can exercise (round-5
+    verdict order 7): the flagship at HALVED executor memory
+    (local-cluster[4,2,4096] -> 3g heaps vs the scaling evidence's 7g).
+    A scale-ready plan must degrade to disk spill — bounded slowdown, no
+    executor OOM. Spill totals come from the Spark UI REST API
+    (memoryBytesSpilled / diskBytesSpilled summed over completed stages);
+    results land in BENCH/memory_pressure_r05.json and the wall is
+    compared against the same-docs 7g rep in BENCH/BASELINE.md."""
+    import urllib.request
+
+    from corporate_knowledge_extractor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"ckg-memlow-exec{n_exec}",
+        master=f"local-cluster[{n_exec},{cores},{mem_mb}]",
+        shuffle_partitions=n_exec * cores * 2,
+        extra_conf={
+            "spark.executor.memory": f"{mem_mb - 1024}m",
+            # the spill numbers come from the UI REST API (get_spark
+            # disables the UI by default)
+            "spark.ui.enabled": "true",
+        },
+    )
+    _kg_once(spark, 2000)  # warm executor JVMs/codegen
+    runs = []
+    for _ in range(reps):
+        s0 = _steal_jiffies()
+        dt, n = _kg_once(spark, n_docs)
+        runs.append({"sec": round(dt, 2), "steal_jiffies": _steal_jiffies() - s0})
+
+    ui = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+        app_id = json.load(r)[0]["id"]
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    spark.stop()
+
+    spilled = [s for s in stages if s.get("memoryBytesSpilled", 0) > 0]
+    out = {
+        "metric": "memory_pressure_flagship",
+        "value": min(r["sec"] for r in runs),
+        "unit": "sec",
+        "sf": n_docs / 500_000,
+        "extra": {
+            "mode": f"local-cluster[{n_exec},{cores},{mem_mb}]",
+            "executor_heap_mb": mem_mb - 1024,
+            "n_docs": n_docs,
+            "triples": n,
+            "runs": runs,
+            "memory_bytes_spilled": sum(
+                s.get("memoryBytesSpilled", 0) for s in stages
+            ),
+            "disk_bytes_spilled": sum(s.get("diskBytesSpilled", 0) for s in stages),
+            "stages_spilled": len(spilled),
+            "stages_total": len(stages),
+            "oom": False,  # reaching this line means no executor OOM ended the job
+        },
+    }
+    hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(hist_dir, exist_ok=True)
+    with open(os.path.join(hist_dir, "memory_pressure_r05.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return out
+
+
 def run_pipeline_stages_level(
     n_exec: int, cores: int, mem_mb: int, n_docs: int, reps: int
 ) -> dict:
@@ -491,6 +566,8 @@ def run_scaling(n_docs: int = 500_000, reps: int = 3, levels: tuple = (2, 8)) ->
 if __name__ == "__main__":
     if "--scaling-cluster" in sys.argv:
         run_scaling_cluster()
+    elif "--memory-pressure" in sys.argv:
+        run_memory_pressure()
     elif "--scaling-stages" in sys.argv:
         run_scaling_stages()
     elif "--stage-level-cluster" in sys.argv:

@@ -82,8 +82,30 @@ def align_segments_to_frames(
     frames: DataFrame,  # DOC + (ts, text, tags array<string>)
     cfg: AlignmentConfig = AlignmentConfig(),
     stop_words: tuple[str, ...] = (),
+    persist: bool = False,
+    scratch: list | None = None,
+    _stage: str | None = None,
 ) -> DataFrame:
-    """Returns DOC + (seg_id, start, end, speech, slide_text)."""
+    """Returns DOC + (seg_id, start, end, speech, slide_text).
+
+    ``persist=True`` materializes the indexed frame table (the row_number
+    window + word-array projections) once — it has FOUR consumers (the
+    as-of representative stream, the candidate join, the post-argmax
+    text join, the frameless-doc anti-join), and without materialization
+    each re-runs the per-doc frame sort; the post-argmax text join's
+    recompute measured as the one anti-scaling phase of the stage
+    (+17s@1 -> +20s@4 exec, BENCH/stage_diagnose_r05.json). Release
+    contract mirrors post_process: query-shaped callers free it with
+    clearCache; the staged pipeline passes ``scratch`` and releases
+    right after the stage write.
+
+    ``_stage`` is a bench/diagnostic hook (scripts/stage_diagnose.py):
+    it returns the operator's OWN intermediate plan at a named point —
+    "closest" (after the as-of sort + both running windows), "scored"
+    (after the candidate equi-join + blended score), "argmax" (after the
+    winner pick, before the text joins) — so per-phase scaling can be
+    measured on exactly the plan prefixes the full operator executes.
+    """
     f = frames.select(
         *DOC,
         F.col("ts").alias("f_ts"),
@@ -102,6 +124,14 @@ def align_segments_to_frames(
             lambda t: F.split(F.lower(t), r"\s+"),
         ),
     )
+    prev_ts0 = F.lag("f_ts").over(w_doc)
+    f = f.withColumn("_ts_first", prev_ts0.isNull() | (prev_ts0 != F.col("f_ts")))
+    if persist:
+        from corporate_knowledge_extractor_spark.materialize import materialize
+
+        f = materialize(f.drop("f_tags"))
+        if scratch is not None:
+            scratch.append(f)
 
     s = segments.select(
         *DOC,
@@ -125,12 +155,8 @@ def align_segments_to_frames(
     # ---- step 1: closest eligible frame, as an as-of join --------------
     # one representative frame per (doc, ts): the strict-< scan keeps the
     # LOWEST index among equal timestamps = the FIRST row of each ts run
-    # in the already-sorted doc window — a lag() flag in the same
-    # WindowExec that assigned f_idx, not a separate groupBy shuffle
-    prev_ts = F.lag("f_ts").over(w_doc)
-    f = f.withColumn(
-        "_ts_first", prev_ts.isNull() | (prev_ts != F.col("f_ts"))
-    )
+    # in the already-sorted doc window — the `_ts_first` lag() flag
+    # computed with f_idx above (same WindowExec, no extra shuffle).
     # the union stream carries INDICES only (r_idx/r_ts) — the frame text
     # is not consulted until after the argmax, so it must not ride the
     # per-doc sort that dominates the stage's cost
@@ -208,6 +234,8 @@ def align_segments_to_frames(
         .withColumn("closest_idx", F.lit(0))
     )
     closest_all = matched.unionByName(no_match)
+    if _stage == "closest":
+        return closest_all
 
     # ---- step 2: candidate window as a bounded equi-join ---------------
     base = s_feat.join(closest_all, [*DOC, "seg_id"])
@@ -266,18 +294,37 @@ def align_segments_to_frames(
     # fallback's closest-frame text.
     seg_keys = [*DOC, "seg_id"]
     real = cand.select(*seg_keys, "f_idx", score.alias("_score"))
+    if _stage == "scored":
+        return real
     fallback = base.select(
         *seg_keys,
         F.col("closest_idx").alias("f_idx"),
         F.lit(-1.0).alias("_score"),
     )
-    w_best = W.partitionBy(*DOC, "seg_id").orderBy(F.desc("_score"), F.col("f_idx"))
+    # the winner pick is a hash AGGREGATE, not a rank window: argmax by
+    # (score desc, f_idx asc) == min_by over the struct (-score, f_idx)
+    # (lexicographic struct order; the pair is unique within a segment —
+    # f_idx is the candidate-join key and the sentinel's score is
+    # unique — so the pick is total/deterministic). The round-4 form was
+    # row_number() over (seg, score desc, f_idx): a full sort+shuffle of
+    # every candidate row. The aggregate partial-combines map-side, so
+    # only ONE slim row per segment crosses the shuffle instead of
+    # 2*window+2 — measured phase-dominant in
+    # BENCH/stage_diagnose_r05.json.
     winners = (
         real.unionByName(fallback)
-        .withColumn("_rn", F.row_number().over(w_best))
-        .where(F.col("_rn") == 1)
-        .select(*seg_keys, "f_idx")
+        .groupBy(*seg_keys)
+        .agg(
+            F.min_by(
+                "f_idx",
+                F.struct(
+                    (-F.col("_score")).alias("ns"), F.col("f_idx").alias("fi")
+                ),
+            ).alias("f_idx")
+        )
     )
+    if _stage == "argmax":
+        return winners
     # texts re-attached to the ONE winning row per segment: slide_text on
     # (doc, f_idx), speech/start/end on (doc, seg_id). The winners frame
     # leaves the argmax window already hash-partitioned by (doc, seg_id),

@@ -75,9 +75,16 @@ def synthesize_triples(mentions: DataFrame) -> DataFrame:
         .groupBy(*DOC_KEY, "block_id")
         .agg(F.min_by("surface", "line_no").alias("enclosing_fn"))
     )
+    # shuffle_hash, NOT broadcast: defs_per_block scales WITH the corpus
+    # (one row per block holding a def), so it is never safely
+    # broadcastable at scale — and the sandbox measured AQE picking a
+    # 1.86M-row broadcast at 400k docs (just under the 64MB threshold)
+    # whose serial driver-side build was the synthesis stage's scaling
+    # floor: calls-join 5.65s -> 2.37s at 4 executors with the hint
+    # (efficiency 0.36 -> 0.83, BENCH/stage_diagnose_r05.json probe).
     calls = (
         mentions.where(F.col("mention_type") == "call")
-        .join(defs_per_block, [*DOC_KEY, "block_id"], "inner")
+        .join(defs_per_block.hint("shuffle_hash"), [*DOC_KEY, "block_id"], "inner")
     )
     calls_t = proj(
         calls,

@@ -333,6 +333,11 @@ class Pipeline:
         # align each block segment ("speech") to its best-scoring mention
         # ("frame") — J1 scored interval join. Context table only; the
         # triple path consumes mentions directly.
+        # the indexed-frame persist inside align is released the moment
+        # the stage table is written (same precise-release contract as
+        # the triples stage's dedup fan-out below)
+        _align_scratch: list = []
+
         def build_aligned() -> DataFrame:
             from corporate_knowledge_extractor_spark.operators.align import (
                 align_segments_to_frames,
@@ -354,9 +359,17 @@ class Pipeline:
                 F.col("surface").alias("text"),
                 "tags",
             )
-            return align_segments_to_frames(segs, frames, self.cfg.alignment)
+            return align_segments_to_frames(
+                segs, frames, self.cfg.alignment,
+                persist=True, scratch=_align_scratch,
+            )
 
         self._stage("aligned", build_aligned, result, resume)
+        from corporate_knowledge_extractor_spark.materialize import (
+            release as _release,
+        )
+
+        _release(*_align_scratch)
         if done("aligned"):
             return result
 
