@@ -251,7 +251,9 @@ def connected_components(
         obs = Observation()
         comp_type = dict(labels.dtypes)["component"]
         cur = labels.withColumn("_old", F.col("component"))
-        for _ in range(max(1, cfg.hops_per_job)):
+        n_hops = max(1, cfg.hops_per_job)
+        mids = []
+        for h in range(n_hops):
             nbr = _neighbor_labels(
                 sym_cold, sym_hot, cur, hot_keys, cfg.salt_buckets
             )
@@ -265,6 +267,17 @@ def connected_components(
                     F.min("_old").alias("_old"),
                 )
             )
+            if h < n_hops - 1:
+                # An intermediate hop feeds THREE consumers inside this
+                # same job (next hop's cold join, its hot semi-join, and
+                # the union) — unpersisted, each re-executes the whole
+                # hop subtree, tripling the stage (measured 15.4 -> 47.8s
+                # at 1 executor, BENCH/stage_scaling_400k_r05_hopsbug.json).
+                # A lazy persist is enough: consumers share one job, so
+                # the first stage to compute a partition caches it and
+                # the rest read blocks. Released right after the count.
+                cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+                mids.append(cur)
         new_labels = (
             cur.observe(
                 obs,
@@ -276,6 +289,8 @@ def connected_components(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         new_labels.count()
+        for m in mids:
+            release(m)
         changed = int(obs.get["changed"] or 0)
         # new_labels is fully materialized, so the previous round's table
         # can be freed NOW — per-iteration, not end-of-job; this is the
