@@ -222,6 +222,17 @@ def connected_components(
     from pyspark import StorageLevel
     from pyspark.sql import Observation
 
+    # The lineage-cut cadence bounds PLAN growth, and the plan grows per
+    # HOP, not per driver round: each hop references the incoming labels
+    # ~3x (cold join, hot semi-join, union), so a fused round multiplies
+    # the tree by ~3^hops_per_job. Counting fused rounds against the
+    # caller's hop-denominated interval let hops_per_job=2 grow ~9x per
+    # round for the same 6-round interval — on a deep chain the analysis
+    # of round 5's plan pegged the driver for >19 min on one core at 40g
+    # heap (round-5 cc diagnose) before the first cut ever fired. persist
+    # caches blocks, not plans, so only the cut bounds re-analysis.
+    cut_every = max(1, lineage_cut_every // max(1, cfg.hops_per_job)) \
+        if lineage_cut_every else 0
     for i in range(cfg.max_iterations):
         # Convergence is FUSED into the propagation aggregate: the old
         # label rides the union as `_old` (each entity has exactly one
@@ -326,7 +337,7 @@ def connected_components(
             release(labels)
             _scrub_scratch(keep="labels_final")
             return final
-        if lineage_cut_every and (i + 1) % lineage_cut_every == 0:
+        if cut_every and (i + 1) % cut_every == 0:
             # deep graph: re-cut the doubling label lineage so analysis
             # cost and recompute chains stay bounded (see plan contract)
             cut = _cut(labels, f"labels_cut_{i + 1}")

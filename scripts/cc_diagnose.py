@@ -52,9 +52,12 @@ def _build_graphs(spark, base: str) -> None:
         .parquet(f"{base}/e_alias")
     )
 
-    # chain shape: 200k vertices in chains of 24 -> 23 hops to converge
-    v_chain = 200_000
-    chain_len = 24
+    # chain shape: 100k vertices in chains of 12 -> 11 hops to converge
+    # (long enough that hops=2 halves the driver-round count; a first
+    # attempt with 24-long chains x 2 reps ran >1h at 1 executor --
+    # each round pays a parquet lineage cut, so round count is the cost)
+    v_chain = 100_000
+    chain_len = 12
     spark.range(v_chain).select(F.col("id").alias("entity_id")).write.mode(
         "overwrite"
     ).parquet(f"{base}/v_chain")
@@ -125,7 +128,7 @@ def run_level(n_exec: int, cores: int, mem_mb: int, reps: int) -> dict:
     return out
 
 
-def main(levels=(1, 4), cores: int = 2, mem_mb: int = 8192, reps: int = 2) -> None:
+def main(levels=(1, 4), cores: int = 2, mem_mb: int = 8192, reps: int = 1) -> None:
     import subprocess
 
     results = {}

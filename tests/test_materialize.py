@@ -143,3 +143,60 @@ def test_minhash_and_embedding_blocks_release_via_clearcache(spark):
     assert len(_stored_rdds(spark)) > 0  # the intermediates are persisted...
     spark.catalog.clearCache()
     assert _stored_rdds(spark) == []  # ...and fully releasable
+
+
+def test_cc_hop_fusion_halves_rounds_without_reexecution(spark):
+    """hops_per_job=2 must (a) produce identical labels, (b) roughly
+    halve the driver-sequenced round count, and (c) not re-execute the
+    intermediate hop: the round-5 staged scaling caught the unpersisted
+    intermediate aggregate feeding three consumers inside one job, each
+    recomputing the whole hop subtree (components 15.4 -> 47.8 s at one
+    executor, BENCH/stage_scaling_400k_r05_hopsbug.json). Stage count is
+    the deterministic proxy: fused-and-persisted runs ~2x stages over
+    half the rounds (== the hops=1 total); the re-execution bug tripled
+    the per-job subtree, so a fused total well above the hops=1 total
+    means the persist regressed."""
+    spark.catalog.clearCache()
+    # chains of 8 -> 7 propagation hops, enough rounds for the ratio
+    # to dominate constant setup jobs
+    n, chain = 400, 8
+    v = spark.range(n).select(F.col("id").alias("entity_id"))
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1) if i % chain != chain - 1],
+        "id_a long, id_b long",
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    def run(hops):
+        rounds = []
+        spark.sparkContext.setJobGroup(f"cc-hops{hops}", "fusion contract")
+        try:
+            comp = connected_components(
+                v, e,
+                CanonicalizeConfig(max_iterations=40, hops_per_job=hops),
+                on_iteration=lambda i, c: rounds.append(i),
+            )
+            labels = sorted((r.entity_id, r.component) for r in comp.collect())
+            comp.unpersist(blocking=True)
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+        jobs = tracker.getJobIdsForGroup(f"cc-hops{hops}")
+        stages = sum(
+            len(tracker.getJobInfo(j).stageIds)
+            for j in jobs
+            if tracker.getJobInfo(j) is not None
+        )
+        spark.catalog.clearCache()
+        return labels, len(rounds), stages
+
+    labels1, rounds1, stages1 = run(1)
+    labels2, rounds2, stages2 = run(2)
+    assert labels2 == labels1
+    assert labels1[:chain] == [(i, 0) for i in range(chain)]
+    # 7-hop chains: hops=1 needs 8 rounds (7 + converged check),
+    # hops=2 needs ~4-5 — strictly fewer, roughly half
+    assert rounds2 < rounds1
+    assert rounds2 <= rounds1 // 2 + 2
+    # no re-execution: fused total stays at/below the unfused total
+    # (bugged it was ~2x above; 1.35 leaves slack for AQE variation)
+    assert stages2 <= stages1 * 1.35, (stages1, stages2)
