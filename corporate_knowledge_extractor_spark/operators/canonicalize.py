@@ -222,17 +222,16 @@ def connected_components(
     from pyspark import StorageLevel
     from pyspark.sql import Observation
 
-    # The lineage-cut cadence bounds PLAN growth, and the plan grows per
-    # HOP, not per driver round: each hop references the incoming labels
-    # ~3x (cold join, hot semi-join, union), so a fused round multiplies
-    # the tree by ~3^hops_per_job. Counting fused rounds against the
-    # caller's hop-denominated interval let hops_per_job=2 grow ~9x per
-    # round for the same 6-round interval — on a deep chain the analysis
-    # of round 5's plan pegged the driver for >19 min on one core at 40g
-    # heap (round-5 cc diagnose) before the first cut ever fired. persist
-    # caches blocks, not plans, so only the cut bounds re-analysis.
-    cut_every = max(1, lineage_cut_every // max(1, cfg.hops_per_job)) \
-        if lineage_cut_every else 0
+    # The lineage-cut budget is denominated in HOPS, not driver rounds:
+    # the plan grows ~3x per hop (each hop references the incoming
+    # labels in the cold join, hot semi-join, and union), so a fused
+    # round multiplies the tree by ~3^n_hops. Counting ROUNDS against
+    # the interval let hops_per_job=2 grow ~9x per round for the same
+    # 6-round budget — on a deep chain, analysis of round 5's plan
+    # pegged the driver for >19 min on one core at 40g heap (round-5 cc
+    # diagnose) before the first cut ever fired. persist caches blocks,
+    # not plans, so only the parquet cut bounds re-analysis.
+    hops_since_cut = 0
     for i in range(cfg.max_iterations):
         # Convergence is FUSED into the propagation aggregate: the old
         # label rides the union as `_old` (each entity has exactly one
@@ -262,7 +261,11 @@ def connected_components(
         obs = Observation()
         comp_type = dict(labels.dtypes)["component"]
         cur = labels.withColumn("_old", F.col("component"))
-        n_hops = max(1, cfg.hops_per_job)
+        # adaptive fusion (cfg.fuse_after rationale in config.py): one
+        # hop per job while the graph may still be shallow, hops_per_job
+        # once it has proven deep — shallow graphs measured 2x faster
+        # unfused, deep chains ~1.3x faster fused at 4 executors
+        n_hops = 1 if i < cfg.fuse_after else max(1, cfg.hops_per_job)
         mids = []
         for h in range(n_hops):
             nbr = _neighbor_labels(
@@ -337,12 +340,14 @@ def connected_components(
             release(labels)
             _scrub_scratch(keep="labels_final")
             return final
-        if cut_every and (i + 1) % cut_every == 0:
+        hops_since_cut += n_hops
+        if lineage_cut_every and hops_since_cut >= lineage_cut_every:
             # deep graph: re-cut the doubling label lineage so analysis
             # cost and recompute chains stay bounded (see plan contract)
             cut = _cut(labels, f"labels_cut_{i + 1}")
             release(labels)
             labels = materialize(cut)
+            hops_since_cut = 0
     _cleanup()
     release(labels)
     _scrub_scratch(keep=None)

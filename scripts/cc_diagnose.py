@@ -93,7 +93,11 @@ def run_level(n_exec: int, cores: int, mem_mb: int, reps: int) -> dict:
         v = spark.read.parquet(f"{base}/v_{shape}")
         e = spark.read.parquet(f"{base}/e_{shape}")
         for hops in (1, 2):
-            cfg = CanonicalizeConfig(max_iterations=40, hops_per_job=hops)
+            # fuse_after=0: measure PURE per-hops behavior — the adaptive
+            # default (unfused prefix) is derived FROM this measurement
+            cfg = CanonicalizeConfig(
+                max_iterations=40, hops_per_job=hops, fuse_after=0
+            )
             rounds_seen: list[int] = []
 
             def once():

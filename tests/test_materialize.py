@@ -167,20 +167,27 @@ def test_cc_hop_fusion_halves_rounds_without_reexecution(spark):
     )
     tracker = spark.sparkContext.statusTracker()
 
-    def run(hops):
+    def run(hops, fuse_after=0, tag=""):
         rounds = []
-        spark.sparkContext.setJobGroup(f"cc-hops{hops}", "fusion contract")
+        grp = f"cc-hops{hops}{tag}"
+        spark.sparkContext.setJobGroup(grp, "fusion contract")
         try:
             comp = connected_components(
                 v, e,
-                CanonicalizeConfig(max_iterations=40, hops_per_job=hops),
+                # fuse_after=0: fuse from round 0 so the contract below
+                # (halved rounds, bounded stage count) tests PURE fusion,
+                # not the adaptive default's unfused prefix
+                CanonicalizeConfig(
+                    max_iterations=40, hops_per_job=hops,
+                    fuse_after=fuse_after,
+                ),
                 on_iteration=lambda i, c: rounds.append(i),
             )
             labels = sorted((r.entity_id, r.component) for r in comp.collect())
             comp.unpersist(blocking=True)
         finally:
             spark.sparkContext.setJobGroup("", "")
-        jobs = tracker.getJobIdsForGroup(f"cc-hops{hops}")
+        jobs = tracker.getJobIdsForGroup(grp)
         stages = sum(
             len(tracker.getJobInfo(j).stageIds)
             for j in jobs
@@ -200,3 +207,8 @@ def test_cc_hop_fusion_halves_rounds_without_reexecution(spark):
     # no re-execution: fused total stays at/below the unfused total
     # (bugged it was ~2x above; 1.35 leaves slack for AQE variation)
     assert stages2 <= stages1 * 1.35, (stages1, stages2)
+    # the ADAPTIVE default (unfused prefix, fuse once proven deep) is
+    # label-identical and never needs more rounds than pure unfused
+    labels_a, rounds_a, _ = run(2, fuse_after=4, tag="-adaptive")
+    assert labels_a == labels1
+    assert rounds_a <= rounds1
