@@ -97,6 +97,15 @@ class CanonicalizeConfig:
     # hops each.
     hops_per_job: int = 2
     fuse_after: int = 4
+    # partition-local union-find contraction of the edge list before the
+    # iterative phase (canonicalize.contract_edges_locally): collapses
+    # every within-partition path to depth 1, so the driver-round count
+    # becomes O(partitions a component spans) instead of O(component
+    # diameter). Off for the pipeline's alias pool (diameter ~2-4, the
+    # extra Python stage costs more than 1-2 saved rounds); callers with
+    # arbitrary-depth graphs (near-dup clustering over LSH pairs) turn
+    # it on.
+    local_contract: bool = False
     # vertices whose degree reaches this go through the salted join path
     # (their edge lists would otherwise land on one reducer per round);
     # sized so the cold path's worst reducer stays well under one

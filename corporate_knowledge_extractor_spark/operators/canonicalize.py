@@ -44,6 +44,77 @@ from corporate_knowledge_extractor_spark.materialize import materialize, release
 from corporate_knowledge_extractor_spark.operators.skew import add_salt, explode_salt
 
 
+def contract_edges_locally(
+    edges: DataFrame,  # (id_a, id_b)
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Partition-local union-find contraction: collapse each partition's
+    edges to a spanning forest (member -> local min root) BEFORE the
+    iterative global phase.
+
+    This is the standard big-graph CC preprocessing (the map-side
+    combine of connected components): a partition with E edges over V
+    distinct endpoints emits at most V-1 forest edges, and — the part
+    that matters for the deep-graph regime — any path that lies inside
+    one partition contracts to depth 1, so the GLOBAL graph's diameter
+    drops to roughly the number of partitions a component spans. The
+    driver-sequenced round count of the iterative phase (its measured
+    cost floor, BENCH/cc_diagnose_r05.json) is diameter-bound, so at
+    10^12-edge scale this turns O(component diameter) rounds over the
+    full edge set into O(partitions spanned) rounds over a forest.
+
+    Connectivity is exactly preserved (each partition's forest connects
+    precisely the vertices its edges connected); the global phase
+    re-derives true component minima, so labels are identical to
+    running on the raw edges — asserted in tests/test_materialize.py.
+
+    Edges are range-partitioned by ``id_a`` first: real corpora write
+    near-sorted ids (parquet row-group locality), so range partitioning
+    maximizes the chance both endpoints land together. Any partitioning
+    is CORRECT; a bad one just contracts less.
+    """
+    import pandas as pd
+
+    if num_partitions is None:
+        sess = edges.sparkSession
+        num_partitions = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    ranged = edges.repartitionByRange(num_partitions, "id_a")
+
+    def _uf(batches):
+        # ONE union-find across every Arrow batch of the partition
+        # (mapInPandas splits a partition into ~10k-row batches; a
+        # per-batch forest would still be correct but contracts less)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["id_a"].values, pdf["id_b"].values):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min keeps roots deterministic per partition
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        if parent:
+            members = list(parent)
+            roots = [find(m) for m in members]
+            out = pd.DataFrame({"id_a": roots, "id_b": members})
+            yield out[out.id_a != out.id_b]
+
+    return ranged.mapInPandas(_uf, schema=edges.select("id_a", "id_b").schema)
+
+
 def _neighbor_labels(sym_cold, sym_hot, labels, hot_keys, buckets: int) -> DataFrame:
     """One propagation round: candidate label for dst = label of each
     neighbor src — cold keys via plain equi-join, hot keys via the salted
@@ -156,6 +227,10 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    if cfg.local_contract:
+        # contract BEFORE the symmetrize cut so the forest (not the raw
+        # edge list) is what lands in scratch and feeds every round
+        edges = contract_edges_locally(edges)
     sym = materialize(
         _cut(
             edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

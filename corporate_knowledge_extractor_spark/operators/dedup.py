@@ -211,12 +211,21 @@ def neardup_clusters(
     and the reference's first-seen-wins dedup,
     /root/reference/src/output/post_processor.py:204-219). Docs in no
     pair are their own singleton cluster."""
+    from corporate_knowledge_extractor_spark.config import CanonicalizeConfig
     from corporate_knowledge_extractor_spark.operators.canonicalize import (
         connected_components,
     )
 
     verts = docs.select(F.col(id_col).alias("entity_id")).distinct()
-    comps = connected_components(verts, pairs.select("id_a", "id_b"))
+    # near-dup graphs have arbitrary depth (duplication chains), unlike
+    # the shallow alias pool: contract each partition's pairs to a local
+    # forest first so the driver-round count is bound by partitions
+    # spanned, not chain length (config.py local_contract rationale)
+    comps = connected_components(
+        verts,
+        pairs.select("id_a", "id_b"),
+        CanonicalizeConfig(local_contract=True),
+    )
     return comps.select(
         F.col("entity_id").alias(id_col),
         F.col("component").alias("cluster_id"),

@@ -212,3 +212,74 @@ def test_cc_hop_fusion_halves_rounds_without_reexecution(spark):
     labels_a, rounds_a, _ = run(2, fuse_after=4, tag="-adaptive")
     assert labels_a == labels1
     assert rounds_a <= rounds1
+
+
+def test_cc_local_contraction_identical_labels_fewer_rounds(spark):
+    """contract_edges_locally must preserve connectivity exactly (global
+    labels identical to raw-edge CC on both graph shapes) and, on a deep
+    chain graph, cut the iterative phase's round count to roughly the
+    number of partitions a component spans — the 10^12-scale lever: the
+    driver-round floor is diameter-bound, and contraction collapses
+    every within-partition path to depth 1."""
+    from corporate_knowledge_extractor_spark.operators.canonicalize import (
+        contract_edges_locally,
+    )
+
+    spark.catalog.clearCache()
+    # deep chains: 960 vertices in chains of 24 (23-hop diameter)
+    n, chain = 960, 24
+    v = spark.range(n).select(F.col("id").alias("entity_id"))
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1) if i % chain != chain - 1],
+        "id_a long, id_b long",
+    )
+
+    def labels_and_rounds(cfg):
+        rounds = []
+        comp = connected_components(
+            v, e, cfg, on_iteration=lambda i, c: rounds.append(i)
+        )
+        out = sorted((r.entity_id, r.component) for r in comp.collect())
+        comp.unpersist(blocking=True)
+        spark.catalog.clearCache()
+        return out, len(rounds)
+
+    plain, rounds_plain = labels_and_rounds(
+        CanonicalizeConfig(max_iterations=40)
+    )
+    contracted, rounds_contracted = labels_and_rounds(
+        CanonicalizeConfig(max_iterations=40, local_contract=True)
+    )
+    assert contracted == plain
+    assert plain[:chain] == [(i, 0) for i in range(chain)]
+    # 4 range partitions over near-sorted ids put most chains inside one
+    # partition -> forest depth 1 -> a handful of global rounds vs ~24
+    assert rounds_contracted < rounds_plain // 2, (
+        rounds_plain, rounds_contracted,
+    )
+
+    # the contraction flattens DEPTH, not necessarily count (a chain is
+    # already a forest: V-1 edges in, V-1 out): with everything in ONE
+    # partition, every member points straight at its chain's root —
+    # distinct id_a == number of chains, i.e. per-partition depth 1
+    forest = contract_edges_locally(e, num_partitions=1)
+    assert forest.select("id_a").distinct().count() == n // chain
+    assert forest.count() == e.count()  # same forest size, flat shape
+
+    # hub-heavy shape too (the pipeline's own): identical labels
+    v2, e2 = _zipf_graph(spark, n=2_000, hub_deg=600)
+    c_plain = connected_components(
+        v2, e2, CanonicalizeConfig(hot_degree_threshold=100, salt_buckets=4)
+    )
+    p = sorted((r.entity_id, r.component) for r in c_plain.collect())
+    c_plain.unpersist(blocking=True)
+    c_con = connected_components(
+        v2, e2,
+        CanonicalizeConfig(
+            hot_degree_threshold=100, salt_buckets=4, local_contract=True
+        ),
+    )
+    q = sorted((r.entity_id, r.component) for r in c_con.collect())
+    c_con.unpersist(blocking=True)
+    assert q == p
+    spark.catalog.clearCache()
