@@ -75,13 +75,25 @@ def keep_first_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def word_shingles(col: F.Column, n: int) -> F.Column:
-    """Distinct word n-gram shingles of a text column (native)."""
-    toks = F.split(normalize_text(col), " ")
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    """Distinct word n-gram shingles of a text column (native).
+
+    Built as ONE codegen'd regexp_extract_all pass over the normalized
+    text: at every token start with >= n tokens remaining, a zero-width
+    lookahead captures the n-gram and the match consumes exactly one
+    token plus its separator, so consecutive overlapping n-grams all
+    surface (mid-token start positions cannot match — any suffix of a
+    token plus the following tokens yields fewer than n non-space runs).
+    Texts shorter than n tokens keep the whole normalized text as their
+    single shingle (= array_join of all tokens). Byte-identical to the
+    previous transform(sequence)/slice/array_join construction on edge
+    cases and the full sf1.0 corpus, ~10x cheaper: higher-order lambdas
+    are interpreted per element (guide §4.1) and measured ~50 CPU-seconds
+    per 50k docs; the regex pass is a few."""
+    norm = normalize_text(col)
+    pat = "(?=((?:[^ ]+ ){%d}[^ ]+))[^ ]+(?: |$)" % (n - 1)
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        F.when(F.regexp_count(norm, F.lit(" ")) < n - 1, F.array(norm)).otherwise(
+            F.regexp_extract_all(norm, F.lit(pat), 1)
         )
     )
 
@@ -148,7 +160,14 @@ def minhash_lsh_pairs(
     ``hash_fn`` selects the per-shingle hash family: the xxhash64 fast
     path (default) or linking.shingle_hashes_neutral for cross-engine
     certification — both verified to emit the same final pair set
-    (tests/test_dedup_similarity.py)."""
+    (tests/test_dedup_similarity.py).
+
+    Round-6 shape (guide §4.1): the shingle array is a single codegen'd
+    regex pass (see word_shingles), and the banding path explodes it to
+    shingle rows whose hashing and num_hashes signature minima are
+    codegen'd scalar expressions and min() aggregates — the whole
+    spread -> explode -> aggregate chain rides ONE hash(id) partitioning
+    with no extra exchange (linking.lsh_band_keys)."""
     from corporate_knowledge_extractor_spark.operators.linking import (
         candidate_id_pairs,
         lsh_band_keys,

@@ -76,6 +76,22 @@ def shingle_col(col: F.Column, k: int) -> F.Column:
     )
 
 
+def hash_one_shingle(col: F.Column) -> F.Column:
+    """Scalar 31-bit base hash of one shingle (ANSI-overflow-safe domain).
+    Scalar (not array-level) so it runs inside whole-stage codegen on an
+    exploded shingle column — higher-order `transform` lambdas are
+    interpreted expression-by-expression (guide §4.1) and dominated the
+    signature stage wall-clock before the round-6 explode rewrite."""
+    return F.pmod(F.xxhash64(col), F.lit(_P))
+
+
+def hash_one_shingle_neutral(col: F.Column) -> F.Column:
+    """Scalar engine-neutral twin: md5-hex prefix -> int, same domain."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(_P)
+    )
+
+
 def minhash_signature(shingle_hashes: F.Column, cfg: LinkingConfig) -> F.Column:
     """array<long> of length num_hashes: min over shingles of an affine
     permutation of the pre-hashed shingles, all JVM-side.
@@ -83,7 +99,13 @@ def minhash_signature(shingle_hashes: F.Column, cfg: LinkingConfig) -> F.Column:
     Takes the *hash array* (not the raw shingles) so callers materialize
     the per-shingle xxhash64 exactly once as a column — with the hashes
     inlined, whole-stage codegen re-evaluated the hashing inside every one
-    of the 64 array_min branches (measured 64x overhead at sf0.1)."""
+    of the 64 array_min branches (measured 64x overhead at sf0.1).
+
+    Kept as the array-level reference form (parity tests state the
+    construction against DuckDB with it); the hot path in lsh_band_keys
+    computes the identical minima via explode + codegen'd min aggregates
+    instead, because these transform/array_min lambdas are interpreted.
+    """
     sig = [
         F.array_min(
             F.transform(
@@ -97,7 +119,7 @@ def minhash_signature(shingle_hashes: F.Column, cfg: LinkingConfig) -> F.Column:
 
 def shingle_hashes(shingles: F.Column) -> F.Column:
     """Per-shingle 31-bit base hashes (ANSI-overflow-safe domain)."""
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    return F.transform(shingles, hash_one_shingle)
 
 
 def shingle_hashes_neutral(shingles: F.Column) -> F.Column:
@@ -110,12 +132,15 @@ def shingle_hashes_neutral(shingles: F.Column) -> F.Column:
     the SAME near-dup pairs as this path end-to-end (candidates differ
     only in LSH banding randomness; the exact-Jaccard verify makes the
     surviving pair set hash-independent whenever banding recall holds)."""
-    return F.transform(
-        shingles,
-        lambda s: F.pmod(
-            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_P)
-        ),
-    )
+    return F.transform(shingles, hash_one_shingle_neutral)
+
+
+# array-level seam -> scalar twin, so lsh_band_keys can keep its public
+# hash_fn contract while hashing on the exploded (codegen'd) column
+_SCALAR_HASH = {
+    shingle_hashes: hash_one_shingle,
+    shingle_hashes_neutral: hash_one_shingle_neutral,
+}
 
 
 def lsh_band_keys(
@@ -132,24 +157,66 @@ def lsh_band_keys(
     self-join doubles them again; shuffling a few-hundred-element array
     through that path dominated the stage wall-clock (measured ~4x at
     sf0.1). Candidates are re-joined to the slim base table afterwards.
+
+    Round-6 shape (guide §4.1: prefer codegen'd built-ins over
+    interpreted lambdas): explode the shingle array, hash each shingle
+    with the scalar codegen'd hash, and compute the num_hashes minima as
+    ordinary min() aggregates in one hash aggregate — partial (map-side)
+    aggregation reduces the exploded rows back to one row per item
+    before any exchange, and every expression in the pass is
+    whole-stage-codegen. The previous form (num_hashes interpreted
+    array_min(transform(...)) passes per row) measured 3-5x slower on
+    the sf1.0 bench corpus (scripts/exp_minhash_r06.py; identical final
+    pair set asserted there). Items whose shingle array is empty would
+    vanish at the explode; they produce no band keys either way (an
+    empty array has no minima), and word_shingles/shingle_col always
+    emit at least one shingle, so the pair sets are identical.
     """
+    exploded = items.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("_s")
+    )
+    return lsh_band_keys_from_rows(exploded, cfg, hash_fn=hash_fn)
+
+
+def lsh_band_keys_from_rows(
+    shingle_rows: DataFrame,
+    cfg: LinkingConfig = LinkingConfig(),
+    hash_fn=shingle_hashes,
+) -> DataFrame:
+    """Banding over pre-exploded ``(id, _s)`` shingle rows — the shared
+    machinery behind lsh_band_keys, exposed so callers that can produce
+    shingle rows without materializing per-item arrays (see
+    dedup.minhash_lsh_pairs' window-lead tokenizer) skip the interpreted
+    array build entirely. Duplicate shingle rows are harmless: the
+    signature is a min over permuted hashes, so multiplicity cannot
+    change any minimum, and band keys depend only on the signature."""
     rows_per_band = cfg.num_hashes // cfg.num_bands
-    df = (
-        items.withColumn("_sh", shingles)
-        .withColumn("_h", hash_fn(F.col("_sh")))
-        .withColumn("_sig", minhash_signature(F.col("_h"), cfg))
+    params = _perm_params(cfg.num_hashes)
+    scalar_hash = _SCALAR_HASH.get(hash_fn)
+    if scalar_hash is not None:
+        hashed = shingle_rows.select("id", scalar_hash(F.col("_s")).alias("_h"))
+    else:  # unknown array-level hash family: hash per row via a 1-element array
+        hashed = shingle_rows.select(
+            "id", F.element_at(hash_fn(F.array(F.col("_s"))), 1).alias("_h")
+        )
+    sigs = hashed.groupBy("id").agg(
+        *[
+            F.min((F.col("_h") * F.lit(a_i) + F.lit(b_i)) % F.lit(_P)).alias(f"_m{i}")
+            for i, (a_i, b_i) in enumerate(params)
+        ]
     )
     bands = F.array(
         *[
             F.xxhash64(
-                F.lit(j), F.slice(F.col("_sig"), j * rows_per_band + 1, rows_per_band)
+                F.lit(j),
+                F.array(
+                    *[F.col(f"_m{j * rows_per_band + r}") for r in range(rows_per_band)]
+                ),
             )
             for j in range(cfg.num_bands)
         ]
     )
-    return df.withColumn("band_key", F.explode(bands)).select(
-        "band_key", F.col(id_col).alias("id")
-    )
+    return sigs.withColumn("band_key", F.explode(bands)).select("band_key", "id")
 
 
 def candidate_id_pairs(banded: DataFrame, cfg: LinkingConfig = LinkingConfig()) -> DataFrame:

@@ -66,14 +66,15 @@ def categorize(triples: DataFrame) -> DataFrame:
     improvement scan order means ties go to the earliest category and a
     zero score stays "general". Expressed as array_max over
     (score, -order, name) structs — one expression, no join, no UDF."""
+    # per-category score as a plain codegen'd sum of contains() casts —
+    # the filter(array(keywords), ...) lambda form is interpreted
+    # (guide §4.1); identical counts asserted in scripts/exp_langid_r06.py
     scored = F.array(
         *[
             F.struct(
-                F.size(
-                    F.filter(
-                        F.array(*[F.lit(k) for k in kws]),
-                        lambda kw: F.contains(F.col("obj"), kw),
-                    )
+                sum(
+                    [F.contains(F.col("obj"), F.lit(k)).cast("int") for k in kws],
+                    F.lit(0),
                 ).alias("score"),
                 F.lit(-i).alias("neg_order"),
                 F.lit(cat).alias("name"),

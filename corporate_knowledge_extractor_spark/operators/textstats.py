@@ -57,15 +57,33 @@ def _hits(toks: F.Column, words: tuple[str, ...]) -> F.Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
 
 
+def _hits_text(col: F.Column, words: tuple[str, ...]) -> F.Column:
+    """Token-hit count as ONE codegen'd regexp_count pass over the text.
+
+    Counts exactly the tokens of ``tokens(col)`` that equal one of
+    ``words`` (duplicates included): after whitespace collapse a token is
+    precisely a maximal space-delimited run, so a word matches a token
+    iff it appears bounded by string edge / space on both sides. The
+    boundaries are zero-width lookarounds, so adjacent stopwords
+    ("the and") are both counted. Replaces the interpreted
+    filter(tokens, t -> array_contains(...)) lambda (`_hits`) on hot
+    paths — higher-order lambdas are not codegen'd (guide §4.1); measured
+    ~1.5x on the sf1.0 lang_id_confusion query with identical output
+    (scripts/exp_langid_r06.py). Assumes words are literal (no regex
+    metacharacters), which every stopword list here satisfies."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    pat = "(?:^|(?<= ))(?:" + "|".join(words) + ")(?= |$)"
+    return F.regexp_count(norm, F.lit(pat))
+
+
 def lang_id(col: F.Column) -> F.Column:
     """Stopword-count argmax; ties -> earlier language; zero hits -> 'und'.
     Same strict-improvement scan as the category argmax
     (post_processor.py:189-199)."""
-    toks = tokens(col)
     scored = F.array(
         *[
             F.struct(
-                _hits(toks, words).alias("score"),
+                _hits_text(col, words).alias("score"),
                 F.lit(-i).alias("neg_order"),
                 F.lit(lang).alias("name"),
             )
@@ -81,7 +99,9 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
-    stop_ratio = F.round(_hits(toks, EN_STOPWORDS) / F.greatest(n_tok, F.lit(1)), 4)
+    stop_ratio = F.round(
+        _hits_text(F.col(text_col), EN_STOPWORDS) / F.greatest(n_tok, F.lit(1)), 4
+    )
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 4)
     avg_tok_len = F.round(

@@ -60,8 +60,14 @@ def query(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_testdata(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
+    """``fanout=True`` marks consumers whose per-row compute dominates
+    their first exchange (text scoring, vector math): the loader then
+    repartitions the single-row-group driver file to full parallelism
+    (guide §2.5 unsplittable input; rationale in sinks.load_testdata)."""
+    return load_testdata(spark, sf_dir, name, fanout=fanout)
 
 
 # =====================================================================
@@ -170,15 +176,16 @@ def runlength_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A5 keyword-count argmax categorization (post_processor.py:178-201)",
 )
 def category_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fanout=True)
+    # per-category score as a plain codegen'd sum of contains() casts —
+    # the filter(array(keywords), ...) lambda form is interpreted
+    # (guide §4.1); identical counts asserted in scripts/exp_langid_r06.py
     scored = F.array(
         *[
             F.struct(
-                F.size(
-                    F.filter(
-                        F.array(*[F.lit(k) for k in kws]),
-                        lambda kw: F.contains(F.col("text"), kw),
-                    )
+                sum(
+                    [F.contains(F.col("text"), F.lit(k)).cast("int") for k in kws],
+                    F.lit(0),
                 ).alias("score"),
                 F.lit(-i).alias("neg_order"),
                 F.lit(cat).alias("name"),
@@ -545,7 +552,7 @@ def compare_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(extractor.py:369-396, generator.py:136-152)",
 )
 def junk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     low = F.lower(F.col("text"))
     return (
         d.where(
@@ -571,7 +578,7 @@ def junk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(post_processor.py:6-30)",
 )
 def filler_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), "batch batch batch", " "), r"\s+", " "
@@ -593,7 +600,7 @@ def filler_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(generator.py:155-165)",
 )
 def has_specifics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     pred = (
         F.col("text").rlike("[0-9]+")
         | F.contains(F.col("text"), F.lit("spark"))
@@ -635,7 +642,7 @@ def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ cast",
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fanout=True)
     # try_cast: regexp_extract yields '' on no-match, which ANSI cast rejects
     k = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1).try_cast("long")
     return ev.groupBy("event_type").agg(
@@ -915,7 +922,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="brute-force cosine top-k similarity search (operators/similarity.py)",
 )
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
     q = e.where(F.col("vec_id") == 0).select(
         F.lit(0).alias("query_id"), F.col("embedding")
     )
@@ -928,7 +935,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="heuristic language-ID vs labeled lang (operators/textstats.py)",
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return (
         d.withColumn("pred_lang", textstats.lang_id(F.col("text")))
         .groupBy("lang", "pred_lang")
@@ -978,7 +985,7 @@ REGISTRY["lang_id_confusion"] = Query(
     doc="token counting (operators/textstats.py)",
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return d.groupBy("lang").agg(
         F.sum(textstats.token_count(F.col("text"))).alias("total_tokens"),
         F.sum(textstats.distinct_token_count(F.col("text"))).alias(
@@ -995,7 +1002,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-lang token-count estimate a training pipeline budgets with",
 )
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return d.groupBy("lang").agg(
         F.sum(textstats.bpe_ish_token_count(F.col("text"))).alias("total_bpe_tokens"),
         F.round(
@@ -1040,7 +1047,7 @@ REGISTRY["bpe_token_stats"] = Query(
     "(operators/textstats.py)",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     return d.agg(
         F.countDistinct(textstats.fingerprint(F.col("text"), 32)).alias(
             "n_fingerprints"
@@ -1055,7 +1062,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="quality scoring: length/punct/stopword ratios (operators/textstats.py)",
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fanout=True)
     feats = textstats.quality_features(d)
     return feats.groupBy("lang").agg(
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
@@ -1602,7 +1609,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multiprobe (operators/similarity.py)",
 )
 def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
     q = e.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
@@ -1663,7 +1670,7 @@ REGISTRY["embedding_ann"] = Query(
     "candidate/verify path",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
     return similarity.embedding_neardup_pairs(
         e, dim=64, threshold=0.4, num_planes=4
     )
@@ -1729,7 +1736,7 @@ REGISTRY["embedding_neardup"] = Query(
     "brute force stays asserted in tests/test_dedup_similarity.py",
 )
 def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
     quant = e.select(
         "vec_id",
         F.transform(
@@ -1832,7 +1839,7 @@ REGISTRY["embedding_ivf"] = Query(
     "build+search chain",
 )
 def ivf_assign_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", fanout=True)
     cents = similarity.seed_centroids(64, 8)
     cent_lit = [F.array(*[F.lit(v) for v in c]) for c in cents]
     scored = F.array(

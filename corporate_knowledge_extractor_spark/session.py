@@ -56,6 +56,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split packing floor (guide §6). The default 4 MB
+        # openCostInBytes floors maxSplitBytes at 4 MB, so a single
+        # few-MB parquet file (the bench's documents table) scans as 1-2
+        # tasks and every expression over it runs on 1-2 of the cores —
+        # measured as the whole cost of the text-heavy queries. 128 KB
+        # keeps tiny-file padding meaningful while letting a small
+        # compute-heavy file fan out to the full parallelism; at real
+        # scale bytesPerCore >> openCost so the value is inert there
+        # (parameterised for deployments where per-file open cost is
+        # genuinely high, e.g. object stores: raise via env).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(128 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
