@@ -20,17 +20,43 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     """A3 normalized dedup with *first-seen-wins* tie-breaking
     (post_processor.py:204-219): normalize (lower + collapse whitespace +
     strip), keep the earliest original row per key. `dropDuplicates` alone
-    would be nondeterministic; the explicit `row_number` over the carried
-    original order reproduces Python list order exactly (SURVEY.md §7)."""
+    would be nondeterministic; keeping the minimum over the carried
+    original order reproduces Python list order exactly (SURVEY.md §7).
+
+    Round-6 shape (guide §2.3 "aggregate before you shuffle"): the
+    earliest row per key is min_by(payload, struct(line_no, frame_id)) —
+    (line_no, frame_id) is unique within a document (frame_id is the
+    per-doc mention index), so the minimum IS the row_number()=1 row of
+    the window form this replaces. min_by aggregates hash-based
+    (ObjectHashAggregate — a min over a struct-typed column would fall
+    back to SortAggregate and reintroduce two sorts) and partially
+    map-side, so at most one candidate row per (input partition, key)
+    crosses any exchange — and when the input already clusters by the
+    doc key (synthesize_triples preserves it), the whole dedup runs in
+    place with no exchange and no sort at all; the window form shuffled
+    and sorted the full pre-dedup triple set (measured 1.1 GB at
+    sf1.0)."""
     norm = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
-    w = W.partitionBy(*DOC_KEY, "_k_subj", "_k_pred", "_k_obj").orderBy("line_no", "frame_id")
+    first = F.min_by(
+        F.struct("subj", "pred", "obj", "frame_id", "line_no"),
+        F.struct("line_no", "frame_id"),
+    ).alias("_w")
     return (
-        triples.withColumn("_k_subj", norm(F.col("subj")))
-        .withColumn("_k_pred", norm(F.col("pred")))
-        .withColumn("_k_obj", norm(F.col("obj")))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_k_subj", "_k_pred", "_k_obj", "_rn")
+        triples.groupBy(
+            *DOC_KEY,
+            norm(F.col("subj")).alias("_k_subj"),
+            norm(F.col("pred")).alias("_k_pred"),
+            norm(F.col("obj")).alias("_k_obj"),
+        )
+        .agg(first)
+        .select(
+            *DOC_KEY,
+            F.col("_w.subj").alias("subj"),
+            F.col("_w.pred").alias("pred"),
+            F.col("_w.obj").alias("obj"),
+            F.col("_w.frame_id").alias("frame_id"),
+            F.col("_w.line_no").alias("line_no"),
+        )
     )
 
 

@@ -36,40 +36,39 @@ def synthesize_triples(mentions: DataFrame) -> DataFrame:
     The enclosing fn of a call is the block's first function_def — a
     per-(doc, block) equi-join, shuffle-free after the mention stage's
     doc-key partitioning (same keys, Catalyst reuses the exchange).
+
+    Round-6 shape (guide §2.4 "remove shuffles outright"): ONE pass —
+    every mention left-joins its block's first def and a CASE projection
+    emits the right (subj, pred) per mention type, instead of the
+    non-call/call branch union this replaces. Same triple set, but two
+    structural wins: the mention table is scanned once, not twice, and
+    the output keeps the hash(doc-key) partitioning the mention stage
+    established (a Union erases partitioning info), so the downstream
+    normalized dedup aggregates in place with NO exchange — at sf1.0
+    that exchange moved 1.1 GB, the largest shuffle in the extract plan.
     """
     doc = _doc_key()
     frame_id = F.lpad(F.col("orig_idx").cast("string"), 3, "0")
 
-    def proj(df: DataFrame, subj: F.Column, pred: F.Column, obj: F.Column) -> DataFrame:
-        return df.select(
-            *DOC_KEY,
-            subj.alias("subj"),
-            pred.alias("pred"),
-            obj.alias("obj"),
-            frame_id.alias("frame_id"),
-            F.col("line_no"),
-        )
-
-    # R1-R3 fused: one scan, pred mapped from mention_type (three filtered
-    # unions would re-scan the mention table per rule)
     pred_map = {
         "import": "imports",
         "import_symbol": "imports_symbol",
         "function_def": "defines",
     }
-    non_call = proj(
-        mentions.where(F.col("mention_type").isin(*pred_map)),
-        doc,
-        F.coalesce(
-            *[
-                F.when(F.col("mention_type") == t, F.lit(p))
-                for t, p in pred_map.items()
-            ]
-        ),
-        F.col("surface"),
-    )
 
-    # R4: attach each call to its block's first def (min line_no).
+    # Re-establish doc-key clustering explicitly: the mention table
+    # arrives from a cache or a stage-table read, and both erase
+    # partitioning info under AQE, which would force the defs join to
+    # exchange BOTH sides by (doc, block). One exchange by the doc key
+    # alone satisfies the join's clustering requirement on both sides
+    # (ReuseExchange runs it once), and — because hash(doc) also
+    # clusters every normalized-dedup group key — post_process's dedup
+    # aggregate then runs in place with no further exchange.
+    mentions = mentions.select(
+        *DOC_KEY, "block_id", "line_no", "mention_type", "surface", "orig_idx"
+    ).repartition(*DOC_KEY)
+
+    # R4's lookup side: the block's first def (min line_no).
     defs_per_block = (
         mentions.where(F.col("mention_type") == "function_def")
         .groupBy(*DOC_KEY, "block_id")
@@ -82,18 +81,38 @@ def synthesize_triples(mentions: DataFrame) -> DataFrame:
     # whose serial driver-side build was the synthesis stage's scaling
     # floor: calls-join 5.65s -> 2.37s at 4 executors with the hint
     # (efficiency 0.36 -> 0.83, BENCH/stage_diagnose_r05.json probe).
-    calls = (
-        mentions.where(F.col("mention_type") == "call")
-        .join(defs_per_block.hint("shuffle_hash"), [*DOC_KEY, "block_id"], "inner")
+    # Both sides are partitioned by the doc key already (defs_per_block
+    # is a partial-agg over the same table), so the hinted join reuses
+    # that partitioning instead of exchanging either side.
+    is_call = F.col("mention_type") == "call"
+    joined = mentions.join(
+        defs_per_block.hint("shuffle_hash"), [*DOC_KEY, "block_id"], "left"
     )
-    calls_t = proj(
-        calls,
-        F.concat(_doc_key(), F.lit("::"), F.col("enclosing_fn")),
-        F.lit("calls"),
-        F.col("surface"),
+    pred = F.when(is_call, F.lit("calls")).otherwise(
+        F.coalesce(
+            *[
+                F.when(F.col("mention_type") == t, F.lit(p))
+                for t, p in pred_map.items()
+            ]
+        )
     )
-
-    return non_call.unionByName(calls_t)
+    subj = F.when(
+        is_call, F.concat(doc, F.lit("::"), F.col("enclosing_fn"))
+    ).otherwise(doc)
+    return (
+        joined.where(
+            F.col("mention_type").isin(*pred_map)
+            | (is_call & F.col("enclosing_fn").isNotNull())
+        )
+        .select(
+            *DOC_KEY,
+            subj.alias("subj"),
+            pred.alias("pred"),
+            F.col("surface").alias("obj"),
+            frame_id.alias("frame_id"),
+            F.col("line_no"),
+        )
+    )
 
 
 TRIPLE_SCHEMA = (

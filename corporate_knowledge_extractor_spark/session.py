@@ -70,6 +70,17 @@ def get_spark(
             "spark.sql.files.openCostInBytes",
             os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(128 * 1024)),
         )
+        # Accept subset-key co-partitioning for joins (guide §2.4): the
+        # extract pipeline clusters everything by the document key once
+        # and every later join/aggregation keys on (doc, ...) supersets.
+        # With the default (true), the defs-per-block join re-exchanged
+        # BOTH sides by (doc, block) even though each side was already
+        # hash(doc)-partitioned — at sf1.0 that plus the downstream
+        # dedup exchange moved ~1.7 GB the relaxed planner doesn't move
+        # at all. Subset co-partitioning is semantically exact; the
+        # trade (fewer, larger partitions for the join) matches this
+        # engine's doc-key layout by construction.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
