@@ -162,45 +162,54 @@ def minhash_lsh_pairs(
     certification — both verified to emit the same final pair set
     (tests/test_dedup_similarity.py).
 
-    Round-6 shape (guide §4.1): the shingle array is a single codegen'd
-    regex pass (see word_shingles), and the banding path explodes it to
-    shingle rows whose hashing and num_hashes signature minima are
-    codegen'd scalar expressions and min() aggregates — the whole
-    spread -> explode -> aggregate chain rides ONE hash(id) partitioning
-    with no extra exchange (linking.lsh_band_keys)."""
+    Round-6 shape (guide §4.1, §5): the shingle array is a single
+    codegen'd regex pass (see word_shingles), cheap enough that the base
+    cache holds only the normalized TEXT (4x smaller than caching the
+    arrays; the array cache's deserialization dominated the verify
+    phase's three scans) and each consumer derives shingles on the fly:
+    the banding path explodes them into shingle rows whose hashing and
+    num_hashes signature minima are codegen'd scalar expressions and
+    min() aggregates — the whole spread -> explode -> aggregate chain
+    rides ONE hash(id) partitioning with no extra exchange
+    (linking.lsh_band_keys) — and the verify path re-derives arrays for
+    the candidate docs only. Measured ~15% wall / 20% CPU under the
+    array-cached form at sf1.0, same pair set."""
     from corporate_knowledge_extractor_spark.operators.linking import (
         candidate_id_pairs,
         lsh_band_keys,
     )
 
-    sh = (
-        shingle_col(F.col("t"), cfg.shingle_size)
-        if char_shingles
-        else word_shingles(F.col("t"), cfg.shingle_size)
-    )
+    def sh_of(col: F.Column) -> F.Column:
+        return (
+            shingle_col(col, cfg.shingle_size)
+            if char_shingles
+            else word_shingles(col, cfg.shingle_size)
+        )
+
     base = materialize(
         spread(
             docs.select(
                 F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("t")
             ),
             "id",
-        ).select("id", sh.alias("sh"))
+        )
     )
-    banded = lsh_band_keys(base, "id", F.col("sh"), cfg, hash_fn=hash_fn)
+    banded = lsh_band_keys(base, "id", sh_of(F.col("t")), cfg, hash_fn=hash_fn)
     # pairs feeds three downstream scans (cand_ids + both sides of the
     # verify join); materialize the slim (id_a, id_b) table once, eagerly
     # (materialize.py policy: eager serialized persist, releasable via
     # clearCache — unlike the localCheckpoint this replaced)
     pairs = materialize(candidate_id_pairs(banded, cfg))
-    # exact Jaccard only for *distinct candidate documents*, reusing the
-    # materialized shingle arrays — candidates are orders of magnitude
-    # fewer than pair occurrences
+    # exact Jaccard only for *distinct candidate documents* — orders of
+    # magnitude fewer than pair occurrences
     cand_ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_tbl = base.join(cand_ids, "id", "left_semi").select("id", "sh")
+    sh_tbl = base.join(cand_ids, "id", "left_semi").select(
+        "id", sh_of(F.col("t")).alias("sh")
+    )
     a = sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
