@@ -207,8 +207,18 @@ def minhash_lsh_pairs(
         .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh_tbl = base.join(cand_ids, "id", "left_semi").select(
-        "id", sh_of(F.col("t")).alias("sh")
+    # sh_tbl is a fan-out: BOTH verify join sides consume it, and Spark
+    # re-executes an unmaterialized subtree per consumer — profiled at
+    # 50k docs the verify phase (~2.4 s of 5.6) ran the base cache scan
+    # and the regex shingle derivation twice. Materializing the slim
+    # candidates-only table (rows = distinct candidate ids, bounded by
+    # the capped pair volume, NOT corpus size) halves that work and lets
+    # AQE broadcast the tiny relation into both joins (guide §5 caching
+    # rule: reused AND expensive to recompute).
+    sh_tbl = materialize(
+        base.join(cand_ids, "id", "left_semi").select(
+            "id", sh_of(F.col("t")).alias("sh")
+        )
     )
     a = sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
