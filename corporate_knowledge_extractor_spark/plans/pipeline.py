@@ -48,7 +48,11 @@ from corporate_knowledge_extractor_spark.operators.mentions import (
 )
 from corporate_knowledge_extractor_spark.operators.postprocess import post_process
 from corporate_knowledge_extractor_spark.operators.redact import redact_columns
-from corporate_knowledge_extractor_spark.operators.segment import assign_blocks, split_lines
+from corporate_knowledge_extractor_spark.operators.segment import (
+    DOC_KEY,
+    assign_blocks,
+    split_lines,
+)
 from corporate_knowledge_extractor_spark.operators.synthesize import synthesize_triples
 from corporate_knowledge_extractor_spark.sources.sinks import table_exists, read_table, write_table
 
@@ -100,7 +104,20 @@ def extract_triples(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
         cfg = prof.engine_config(cfg)
     synth = prof.synthesizer() if prof is not None else synthesize_triples
 
-    blocked = junk_block_filter(assign_blocks(split_lines(docs)))
+    # Exchange placement (guide §2.3 / §3.3 "explode after the shuffle"):
+    # the block/cap windows force one hash(doc-key) exchange; with the
+    # explode first, that exchange ships the 25M-row LINE table with the
+    # doc-key strings duplicated per line (541 MB at sf1.0). Clustering
+    # the 500k-row doc table BEFORE split_lines moves the same exchange
+    # below the explode — one content blob per doc crosses instead (50x
+    # fewer rows, no per-line key duplication), and Generate preserves
+    # the partitioning so every downstream window/join still reuses it.
+    # Measured result-identical, ~5% less CPU at sf1.0 locally
+    # (scripts/exp_docshuffle_r06b.py); the row-count win is the point
+    # at network-shuffle scale.
+    blocked = junk_block_filter(
+        assign_blocks(split_lines(docs.repartition(*DOC_KEY)))
+    )
     # blocked is consumed exactly once now that detect_mentions is a fused
     # single-scan rule bank — no checkpoint needed; the whole
     # docs->mentions chain is one job
@@ -281,7 +298,12 @@ class Pipeline:
 
         blocks = self._stage(
             "blocks",
-            lambda: junk_block_filter(assign_blocks(split_lines(docs_df))),
+            # same exchange placement as extract_triples: cluster the doc
+            # table by key before the explode so the windows' mandatory
+            # exchange ships blobs, not lines
+            lambda: junk_block_filter(
+                assign_blocks(split_lines(docs_df.repartition(*DOC_KEY)))
+            ),
             result,
             resume,
         )
