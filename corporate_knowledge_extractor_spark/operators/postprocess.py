@@ -9,7 +9,9 @@ remaining steps run here on the triples table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+import os
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from corporate_knowledge_extractor_spark.functions import rules
@@ -60,21 +62,53 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     )
 
 
-def validate_calls(triples: DataFrame) -> DataFrame:
+# broadcast the known-surfaces dim only when its MEASURED row count is
+# below this (distinct identifiers are short strings; 1M rows is a few
+# tens of MB framed — far under the session's 64 MB auto threshold and
+# the executor budget). Parameterised for deployments with bigger heads.
+KNOWN_BROADCAST_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_KNOWN_BCAST_ROWS", str(1_000_000))
+)
+
+
+def validate_calls(
+    triples: DataFrame,
+    probe_known_size: bool = False,
+    scratch: list | None = None,
+) -> DataFrame:
     """J3 semi-join validation: keep `calls` edges only when the callee is
     defined or imported as a symbol *somewhere in the corpus* — the
     reference keeps qa_pairs only when their frame_id survived filtering
-    (post_processor.py:62-63). The known-surfaces side is a distinct
-    projection, orders of magnitude smaller than the triples side; AQE's
-    runtime stats pick the broadcast path when it fits. (Deliberately NOT
-    a forced F.broadcast: at 10^12 files the distinct-identifier set can
-    exceed any broadcast budget and a forced hint would OOM the driver —
-    let the optimizer decide from observed size.)"""
+    (post_processor.py:62-63).
+
+    Join strategy (guide §7.4 "check its real size"): a forced
+    F.broadcast would OOM the driver at 10^12-file scale where the
+    distinct-identifier set can exceed any broadcast budget, but leaving
+    it to AQE is not free either — AQE only rewrites the sort-merge join
+    AFTER both child exchanges ran as map stages, so the full triple
+    table is still shuffle-WRITTEN by obj (1.2 GB / 9.2M rows at sf1.0)
+    and only the cross-network read is elided. With
+    ``probe_known_size=True`` (callers that hold `triples` materialized,
+    so the probe is one cheap cache scan) the known dim is cached and
+    counted first, and broadcast is hinted only under
+    KNOWN_BROADCAST_MAX_ROWS — the statically-planned broadcast join
+    never exchanges the triple side at all. Measured at sf1.0: 7.3-9.1k
+    -> 3.9-6.1k CPU jiffies for the validate pass, same rows."""
     known = (
         triples.where(F.col("pred").isin("defines", "imports_symbol"))
         .select(F.col("obj").alias("_known"))
         .distinct()
     )
+    if probe_known_size:
+        from corporate_knowledge_extractor_spark.materialize import materialize
+
+        known = materialize(known)  # eager: one scan builds dim + its count
+        if scratch is not None:
+            # precise-release contract (see post_process): every frame this
+            # call materializes is handed back for the caller to release
+            scratch.append(known)
+        if known.count() <= KNOWN_BROADCAST_MAX_ROWS:
+            known = F.broadcast(known)
     # single-pass form: a split/semi-join/union would scan the (expensive,
     # window-deduped) triples input twice more; the left join against the
     # distinct known set keeps multiplicity at 1 and one predicate keeps
@@ -138,4 +172,9 @@ def post_process(
         deduped = materialize(deduped)
         if scratch is not None:
             scratch.append(deduped)
-    return categorize(validate_calls(deduped))
+    # probe_known_size only when deduped is materialized: the size probe
+    # is then a single cache scan; unpersisted callers would pay a full
+    # re-execution of the upstream chain for the count
+    return categorize(
+        validate_calls(deduped, probe_known_size=persist, scratch=scratch)
+    )

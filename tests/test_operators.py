@@ -219,6 +219,8 @@ def test_post_process_persist_fanout_contract(spark):
     )
     persisted = {tuple(r) for r in persisted_df.collect()}
     assert persisted == plain and len(plain) > 100
-    assert len(scratch) == 1  # the materialized dedup frame is handed back
+    # the materialized dedup frame AND the validate-calls known dim
+    # (cached for the broadcast size probe) are both handed back
+    assert len(scratch) == 2
     release(*scratch)
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == baseline
