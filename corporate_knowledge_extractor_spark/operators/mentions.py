@@ -38,21 +38,32 @@ def detect_mentions(blocked_lines: DataFrame) -> DataFrame:
     no checkpoint at all.
     """
     base = blocked_lines.select(*DOC_KEY, "block_id", "line_no", "line")
+    line = F.col("line")
+    # necessary-condition prefix guards (same pattern as the redaction
+    # guards): every rule regex is start-anchored, so a match implies
+    # the literal prefix (or, for RE_CALL's ^\s+, a leading whitespace
+    # char). Testing that with codegen startswith/substring skips the
+    # regex engine on the vast majority of lines; a failed guard yields
+    # '' exactly like a failed regexp_extract, so the empty-surface
+    # filter below sees identical rows.
+    ws_first = F.substring(line, 1, 1).isin(" ", "\t", "\x0b", "\f", "\r")
     rule_bank = [
-        (rules.RE_IMPORT, 1, "import"),
-        (rules.RE_FROM_IMPORT, 1, "import"),
-        (rules.RE_FROM_IMPORT, 2, "import_symbol"),
-        (rules.RE_DEF, 1, "function_def"),
-        (rules.RE_CALL, 1, "call"),
-        (rules.RE_PERSON_COMMENT, 1, "person"),
+        (rules.RE_IMPORT, 1, "import", line.startswith("import ")),
+        (rules.RE_FROM_IMPORT, 1, "import", line.startswith("from ")),
+        (rules.RE_FROM_IMPORT, 2, "import_symbol", line.startswith("from ")),
+        (rules.RE_DEF, 1, "function_def", line.startswith("def ")),
+        (rules.RE_CALL, 1, "call", ws_first),
+        (rules.RE_PERSON_COMMENT, 1, "person", line.startswith("# Maintainer: ")),
     ]
     candidates = F.array(
         *[
             F.struct(
-                F.regexp_extract(F.col("line"), pattern, group).alias("surface"),
+                F.when(guard, F.regexp_extract(line, pattern, group))
+                .otherwise(F.lit(""))
+                .alias("surface"),
                 F.lit(mtype).alias("mention_type"),
             )
-            for pattern, group, mtype in rule_bank
+            for pattern, group, mtype, guard in rule_bank
         ]
     )
     # explode all candidates and filter the empties AFTER — Generate and

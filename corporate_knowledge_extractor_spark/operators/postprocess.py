@@ -38,7 +38,15 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
     place with no exchange and no sort at all; the window form shuffled
     and sorted the full pre-dedup triple set (measured 1.1 GB at
     sf1.0)."""
-    norm = lambda c: F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))  # noqa: E731
+    # whitespace-guarded normalization: trim(regexp_replace(lower(c),
+    # '\s+', ' ')) is exactly lower(c) when the string contains no
+    # whitespace (replace is a no-op, nothing to trim) — and triple
+    # subjects/objects are overwhelmingly identifier-shaped, so the
+    # rlike('\s') scan skips the regex-replace + rebuild for ~all rows
+    # (same necessary-condition pattern as redact._guarded_replace)
+    norm = lambda c: F.when(  # noqa: E731
+        c.rlike(r"\s"), F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    ).otherwise(F.lower(c))
     first = F.min_by(
         F.struct("subj", "pred", "obj", "frame_id", "line_no"),
         F.struct("line_no", "frame_id"),
